@@ -1,0 +1,115 @@
+"""Host/device data contract — the SoA analog of common_classes.h.
+
+Reference: lib/RenderSystem/common_classes.h (CoreTri/CoreMaterial/Core*Light/
+ViewPyramid) and lib/RenderSystem/rendersystem.h:65-72 (RenderSettings).
+
+Everything that crosses into jit is a registered pytree of jnp arrays with
+static shapes; compile-time knobs live in the frozen `RenderConfig`
+(the analog of the reference's core_settings.h compile-time defines, see
+SURVEY.md §5.6).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+# Light type tags (common_classes.h:275-356 defines 4 light types)
+LIGHT_TRI = 0
+LIGHT_POINT = 1
+LIGHT_SPOT = 2
+LIGHT_DIRECTIONAL = 3
+
+# Path state flags (rendercore_optix7/kernels/pathtracer.h:26-33)
+S_SPECULAR = 1       # previous vertex was specular (skip NEE MIS there)
+S_BOUNCED = 2        # path bounced diffusely at least once
+S_VIASPECULAR = 4
+S_BOUNCEDTWICE = 8   # second diffuse bounce → reference kills the path
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) render configuration.
+
+    Tier-1/2 config analog (common_settings.h + per-core core_settings.h,
+    SURVEY.md §5.6). Because it is static, changing any field recompiles —
+    same cost model as the reference's compile-time defines.
+    """
+    width: int = 512
+    height: int = 512
+    spp_per_pass: int = 1
+    max_path_length: int = 16          # core_settings.h:25 (Optix7) / 64 (PrimeRef)
+    max_diffuse_bounces: int = 1000    # optix7 caps at 2 (S_BOUNCEDTWICE); PrimeRef lifts
+    russian_roulette: bool = True
+    clamp_fireflies: bool = True
+    consistent_normals: bool = True
+    bsdf: str = "lambert"              # "lambert" | "disney" (kernels/bsdf.h:7-18)
+    geometry_epsilon: float = 1e-4     # rendersystem.h:67
+    clamp_value: float = 10.0          # camera.h:44
+    clamp_direct: float = 15.0         # rendersystem.h:69
+    clamp_indirect: float = 2.5        # rendersystem.h:70
+    filter_enabled: bool = False       # SVGF (RenderCore_Optix7Filter)
+    taa_enabled: bool = False
+    max_is_lights: int = 8             # lights_shared.h:25 MAXISLIGHTS
+    tri_chunk: int = 1024              # brute-force intersector chunk
+    use_bvh: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def n_paths(self) -> int:
+        return self.width * self.height * self.spp_per_pass
+
+
+@struct.dataclass
+class ViewPyramid:
+    """Camera frustum handed to cores (common_classes.h:362-385).
+
+    p1/p2/p3 = top-left / top-right / bottom-left of the image plane at the
+    focal distance (camera.cpp:96-117). spread_angle = FOV / vertical pixels.
+    """
+    pos: jnp.ndarray            # [3]
+    p1: jnp.ndarray             # [3]
+    p2: jnp.ndarray             # [3]
+    p3: jnp.ndarray             # [3]
+    aperture: jnp.ndarray       # scalar
+    spread_angle: jnp.ndarray   # scalar
+    image_plane: jnp.ndarray    # scalar (BDPT camera pdf)
+    focal_distance: jnp.ndarray # scalar
+    distortion: jnp.ndarray     # scalar (barrel)
+
+
+@struct.dataclass
+class Rays:
+    """A wavefront of rays, SoA (core_settings.h:78-86 path-state analog)."""
+    origin: jnp.ndarray   # [N,3]
+    dir: jnp.ndarray      # [N,3]
+
+
+@struct.dataclass
+class Hits:
+    """Intersection results (core_settings.h:91 hitData analog)."""
+    t: jnp.ndarray        # [N] — BIG_T on miss
+    prim: jnp.ndarray     # [N] int32 global triangle id, -1 on miss
+    inst: jnp.ndarray     # [N] int32 instance id, -1 on miss
+    u: jnp.ndarray        # [N] barycentric u
+    v: jnp.ndarray        # [N] barycentric v
+
+
+@struct.dataclass
+class CoreStats:
+    """Per-frame device-side statistics (core_api_base.h:30-61 analog).
+
+    Ray counts are jnp scalars computed on device; times are filled host-side
+    by the core wrapper.
+    """
+    primary_rays: jnp.ndarray
+    bounce1_rays: jnp.ndarray
+    deep_rays: jnp.ndarray
+    shadow_rays: jnp.ndarray
+
+    @staticmethod
+    def zero():
+        z = jnp.zeros((), jnp.int32)
+        return CoreStats(z, z, z, z)

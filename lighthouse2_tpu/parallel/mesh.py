@@ -1,0 +1,106 @@
+"""Multi-chip distribution layer (no reference analog — the reference is a
+single-GPU program; SURVEY.md §2.5/§5.8 defines the obligations).
+
+Strategy (matches BASELINE.json):
+  - rays/tiles are DATA-parallel: the global path index range [0, W·H·spp) is
+    sharded over the mesh 'rays' axis; every chip traces its shard through
+    the full wavefront loop independently (rays are independent — no ring
+    exchange needed while the scene is replicated);
+  - the scene (triangles, BVH, materials, lights, sky) is REPLICATED;
+  - each chip scatter-adds into a full-resolution accumulator; one
+    `psum` over ICI merges them (image assembly);
+  - for differentiable rendering, parameter gradients are all-reduced by the
+    same psum transpose automatically (shard_map autodiff).
+
+Multi-host: the same code runs under `jax.distributed.initialize()` — the
+mesh spans all processes' devices and the psum rides ICI/DCN.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lighthouse2_tpu.core.types import RenderConfig
+from lighthouse2_tpu.render.wavefront import AccumState, trace_paths
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devs), (axis,))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """device_put the scene pytree replicated over every chip in the mesh."""
+    sharding = jax.sharding.NamedSharding(mesh, P())
+    return jax.device_put(scene, sharding)
+
+
+def _shard_trace(scene, view, path_idx, sample_base, cam_seed, *,
+                 config: RenderConfig, axis: str):
+    acc, cam_seed, stats = trace_paths(
+        scene, view, config, path_idx, sample_base, cam_seed)
+    acc = jax.lax.psum(acc, axis)
+    stats = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), stats)
+    return acc, cam_seed, stats
+
+
+def render_pass_sharded(scene, view, state: AccumState, config: RenderConfig,
+                        mesh: Mesh, axis: str = "rays"):
+    """One progressive pass with the path dimension sharded over `mesh`.
+
+    Identical output to the single-chip `render_pass` (same seeds per global
+    path index), bit-for-bit up to scatter-add ordering.
+    """
+    n = config.n_paths
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"n_paths {n} must divide over {n_dev} devices"
+    path_idx = jnp.arange(n, dtype=jnp.uint32)
+
+    body = jax.shard_map(
+        functools.partial(_shard_trace, config=config, axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+        # the bounce-scan carry mixes replicated init values (zero
+        # accumulator, rng chain) with shard-varying updates; skip the
+        # varying-manual-axes check rather than pcast every constant
+        check_vma=False,
+    )
+    acc_delta, cam_seed, stats = body(
+        scene, view, path_idx, state.sample_count, state.cam_seed)
+    new_state = AccumState(
+        accumulator=state.accumulator + acc_delta,
+        sample_count=state.sample_count + config.spp_per_pass,
+        cam_seed=cam_seed,
+    )
+    return new_state, stats
+
+
+def render_image_sharded(scene, view, config, mesh, axis: str = "rays"):
+    """Convenience: one sharded pass from scratch → linear image [W*H, 3]."""
+    state, _ = render_pass_sharded(
+        scene, view, AccumState.make(config), config, mesh, axis)
+    return state.accumulator[:, :3] / jnp.maximum(
+        state.sample_count.astype(jnp.float32), 1.0)
+
+
+def train_step_sharded(scene, view, target, config: RenderConfig, mesh: Mesh,
+                       param_extract, param_insert, params, axis: str = "rays"):
+    """One differentiable-rendering optimization step over the mesh.
+
+    `param_extract(scene) -> params pytree`, `param_insert(scene, params) ->
+    scene`. Returns (loss, grads) with grads all-reduced over ICI (implicit in
+    the shard_map transpose of the accumulator psum).
+    """
+    def loss_fn(params):
+        s = param_insert(scene, params)
+        img = render_image_sharded(s, view, config, mesh, axis)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)

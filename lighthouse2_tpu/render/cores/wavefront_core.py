@@ -1,0 +1,71 @@
+"""Built-in render cores.
+
+  - "wavefront"  — the fast progressive path tracer (rendercore_optix7 analog)
+  - "primeref"   — validation core: same algorithm, MAXPATHLENGTH 64, no
+                   diffuse-bounce cap, no russian roulette, no firefly clamp
+                   (RenderCore_PrimeRef analog: "REFERENCE, for image
+                   validation", apps/imguiapp/main.cpp:170)
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from lighthouse2_tpu.core.types import RenderConfig
+from lighthouse2_tpu.render.cores.base import RenderCore, register_core
+from lighthouse2_tpu.render.wavefront import (
+    AccumState, render_pass_jit, finalize,
+)
+
+
+@register_core("wavefront")
+class WavefrontCore(RenderCore):
+    def __init__(self, config: RenderConfig):
+        super().__init__(config)
+        self.state = None
+
+    def on_target_changed(self):
+        self.state = None
+
+    def render(self, device_scene, view, converge: bool = True) -> dict:
+        if self.state is None or not converge:
+            self.state = AccumState.make(self.config)   # Convergence::Restart
+        t0 = time.perf_counter()
+        self.state, stats = render_pass_jit(
+            device_scene, view, self.state, self.config)
+        jax.block_until_ready(self.state.accumulator)
+        wall = time.perf_counter() - t0
+        ext = int(stats["total_extension"])
+        shad = int(stats["total_shadow"])
+        self.stats = {
+            "render_time": wall,
+            "primary_rays": int(stats["primary_rays"]),
+            "extension_rays": ext,
+            "shadow_rays": shad,
+            "total_rays": ext + shad,
+            "mrays_per_s": (ext + shad) / max(wall, 1e-9) / 1e6,
+            "spp": int(self.state.sample_count),
+            "extension_per_bounce": np.asarray(stats["extension_rays"]),
+            "shadow_per_bounce": np.asarray(stats["shadow_rays"]),
+        }
+        return self.stats
+
+    def get_image(self) -> np.ndarray:
+        img = finalize(self.state)
+        return np.asarray(img).reshape(self.config.height, self.config.width, 3)
+
+
+@register_core("primeref")
+class PrimeRefCore(WavefrontCore):
+    def __init__(self, config: RenderConfig):
+        config = dataclasses.replace(
+            config,
+            max_path_length=64,            # RenderCore_PrimeRef/core_settings.h:25
+            max_diffuse_bounces=1 << 30,
+            russian_roulette=False,
+            clamp_fireflies=False,
+        )
+        super().__init__(config)

@@ -1,0 +1,372 @@
+"""The wavefront path tracer — rendercore_optix7's algorithm, TPU-native.
+
+Reference loop (rendercore_optix7/rendercore.cpp:621-769 + kernels/
+pathtracer.h:54-240): generate eye rays → per bounce {trace, shade with
+NEE+MIS, emit compacted extension/shadow rays} → trace shadow batch →
+finalize. Each stage is a kernel launch with a host-side counter read-back
+per bounce.
+
+Here the WHOLE frame is one jitted function: eye-ray generation, a
+`lax.scan` over bounces (BVH traversal + shading + NEE shadow rays inside),
+and scatter-add accumulation. Stream compaction becomes masked lanes — the
+ray pool has a static [N = W·H·spp] shape and dead lanes idle (XLA-friendly;
+occupancy is reported in stats like the reference's CoreStats ray counts).
+
+Deliberate deviations from the reference (documented, SURVEY.md Appendix A):
+  - implicit light hits after specular chains are weighted by
+    throughput/bsdfPdf (the optix7 kernel drops both — a bug PrimeRef avoids);
+  - point lights return their radiance (reference shadows the output var).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lighthouse2_tpu.core import rng as rng_mod
+from lighthouse2_tpu.core.geometry import (
+    dot, normalize, safe_origin, intersect_bruteforce, occluded_bruteforce, BIG_T,
+)
+from lighthouse2_tpu.core.types import RenderConfig, ViewPyramid
+from lighthouse2_tpu.render import bsdf_lambert
+from lighthouse2_tpu.render.shading import get_shading_data
+from lighthouse2_tpu.render.lights import (
+    random_point_on_light, light_pick_prob, calculate_light_pdf,
+)
+from lighthouse2_tpu.render.sky import sample_skydome
+from lighthouse2_tpu.scene.device_scene import DeviceScene
+from lighthouse2_tpu.bvh.traverse import bvh_intersect, bvh_occluded, refine_hit
+
+EPSILON = 1e-4   # pathtracer epsilon for pdf cutoff
+
+
+@struct.dataclass
+class AccumState:
+    """Progressive-accumulation state — the Converge/Restart checkpoint tuple
+    (accumulator, samplesTaken, camRNGseed; rendercore.cpp:627-634)."""
+    accumulator: jnp.ndarray   # [W*H, 4]; .w accumulates primary depth
+    sample_count: jnp.ndarray  # scalar int32 (samplesTaken)
+    cam_seed: jnp.ndarray      # scalar uint32
+
+    @staticmethod
+    def make(config: RenderConfig) -> "AccumState":
+        return AccumState(
+            accumulator=jnp.zeros((config.width * config.height, 4), jnp.float32),
+            sample_count=jnp.int32(0),
+            cam_seed=jnp.uint32(rng_mod.CAM_RNG_SEED),
+        )
+
+
+def _clamp_intensity(contrib, clamp_value):
+    """CLAMPINTENSITY (core_settings.h:190-193): scale so max comp <= clamp.
+
+    The denominator is floored at clamp_value (only the v>clamp branch uses
+    it) so the reciprocal vjp stays finite on zero-contribution lanes."""
+    v = jnp.max(contrib, axis=-1, keepdims=True)
+    vs = jnp.maximum(v, clamp_value)
+    scale = jnp.where(v > clamp_value, clamp_value / vs, 1.0)
+    return contrib * scale
+
+
+def _fixnan(x):
+    """FIXNAN_FLOAT3 (common_settings.h:57-66)."""
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def _masked_div(num, den, mask):
+    """num/den where mask else 0, NaN-safe in forward AND backward.
+
+    The naive `where(mask, num/max(den,1e-30), 0)` pattern overflows f32 in
+    the vjp (1e30² = inf → inf·0 = nan), killing gradients — the reference
+    never differentiates so it can't hit this. Mask the denominator first."""
+    den_safe = jnp.where(mask, den, 1.0)
+    num_shape_mask = mask if num.ndim == den.ndim else mask[..., None]
+    return jnp.where(num_shape_mask, num / den_safe[..., None]
+                     if num.ndim != den.ndim else num / den_safe, 0.0)
+
+
+def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
+                      path_idx=None):
+    """Primary-ray generation (optix/.optix.cu:66-99 generateEyeRay):
+    pixel jitter, 9-bladed lens DOF, optional barrel distortion.
+
+    `path_idx` may be a shard of the global [0, W·H·spp) index range — that is
+    how the parallel layer splits the wavefront across chips."""
+    w, h = config.width, config.height
+    if path_idx is None:
+        path_idx = jnp.arange(config.n_paths, dtype=jnp.uint32)
+    path_idx = path_idx.astype(jnp.uint32)
+    n = path_idx.shape[0]
+    pixel_idx = (path_idx % jnp.uint32(w * h)).astype(jnp.int32)
+    seed = rng_mod.raygen_seed(path_idx, jnp.asarray(sample_base, jnp.uint32))
+
+    seed, r0 = rng_mod.random_float(seed)
+    seed, r1 = rng_mod.random_float(seed)
+    seed, r2 = rng_mod.random_float(seed)
+    seed, r3 = rng_mod.random_float(seed)
+
+    right = view.p2 - view.p1
+    up = view.p3 - view.p1
+
+    # RandomPointOnLens (.optix.cu:52-64): 9-bladed aperture
+    blade = jnp.floor(r2 * 9.0)
+    r2b = (r2 - blade * (1.0 / 9.0)) * 9.0
+    a1 = blade * (jnp.pi / 4.5)
+    a2 = (blade + 1.0) * (jnp.pi / 4.5)
+    x1, y1 = jnp.sin(a1), jnp.cos(a1)
+    x2, y2 = jnp.sin(a2), jnp.cos(a2)
+    flip = (r3 + r2b) > 1.0
+    r3f = jnp.where(flip, 1.0 - r3, r3)
+    r2f = jnp.where(flip, 1.0 - r2b, r2b)
+    xr = x1 * r3f + x2 * r2f
+    yr = y1 * r3f + y2 * r2f
+    origin = view.pos[None] + view.aperture * (right[None] * xr[:, None]
+                                               + up[None] * yr[:, None])
+
+    sx = (pixel_idx % w).astype(jnp.float32)
+    sy = (pixel_idx // w).astype(jnp.float32)
+    u = (sx + r0) / w
+    v = (sy + r1) / h
+    pos_nodist = view.p1[None] + u[:, None] * right[None] + v[:, None] * up[None]
+
+    # barrel distortion (.optix.cu:89-97)
+    tx = sx / w - 0.5
+    ty = sy / h - 0.5
+    rr = tx * tx + ty * ty
+    rq = jnp.sqrt(rr) * (1.0 + view.distortion * rr + view.distortion * rr * rr)
+    theta = jnp.arctan2(tx, ty)
+    bx = (jnp.sin(theta) * rq + 0.5) * w
+    by = (jnp.cos(theta) * rq + 0.5) * h
+    pos_dist = (view.p1[None] + ((bx + r0) / w)[:, None] * right[None]
+                + ((by + r1) / h)[:, None] * up[None])
+    pos_on_pixel = jnp.where(view.distortion == 0.0, pos_nodist, pos_dist)
+
+    direction = normalize(pos_on_pixel - origin)
+    return dict(
+        path_idx=path_idx,
+        origin=origin,
+        dir=direction,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        bsdf_pdf=jnp.ones((n,), jnp.float32),
+        last_n=direction,                      # unused until first diffuse hit
+        prev_specular=jnp.ones((n,), bool),    # primary rays act as "via specular"
+        n_diffuse=jnp.zeros((n,), jnp.int32),
+        alive=jnp.ones((n,), bool),
+        pixel=pixel_idx,
+    )
+
+
+def _intersect(scene: DeviceScene, o, d, config: RenderConfig):
+    tris = scene.tris
+    if config.use_bvh and scene.bvh is not None:
+        t, prim, u, v = bvh_intersect(o, d, scene.bvh, tris.v0, tris.e1, tris.e2)
+    else:
+        t, prim, u, v = intersect_bruteforce(o, d, tris.v0, tris.e1, tris.e2,
+                                             chunk=config.tri_chunk)
+    # differentiable refinement: recompute (t,u,v) from the winning triangle
+    rt, ru, rv, ok = refine_hit(o, d, prim, tris.v0, tris.e1, tris.e2)
+    t = jnp.where(prim >= 0, rt, t)
+    u = jnp.where(prim >= 0, ru, u)
+    v = jnp.where(prim >= 0, rv, v)
+    return t, prim, u, v
+
+
+def _occluded(scene: DeviceScene, o, d, t_max, config: RenderConfig):
+    tris = scene.tris
+    if config.use_bvh and scene.bvh is not None:
+        return bvh_occluded(o, d, t_max, scene.bvh, tris.v0, tris.e1, tris.e2)
+    return occluded_bruteforce(o, d, t_max, tris.v0, tris.e1, tris.e2,
+                               chunk=config.tri_chunk)
+
+
+def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
+                path_idx, sample_base, cam_seed):
+    """Trace one wavefront of paths; returns (acc_delta [W·H,4], cam_seed',
+    stats). `path_idx` may be a shard of the global index range (parallel
+    layer) or None for all paths."""
+    wh = config.width * config.height
+    geo_eps = jnp.float32(config.geometry_epsilon)
+
+    paths = generate_eye_rays(view, config, sample_base, path_idx)
+    n = paths["path_idx"].shape[0]
+    acc = jnp.zeros((wh, 4), jnp.float32)
+
+    stats0 = dict(
+        extension_rays=jnp.zeros((config.max_path_length,), jnp.int32),
+        shadow_rays=jnp.zeros((config.max_path_length,), jnp.int32),
+    )
+
+    def bounce(carry, li):
+        paths, acc, cam_seed, stats = carry
+        path_length = li + 1                       # reference is 1-based
+        is_primary = li == 0
+        o, d = paths["origin"], paths["dir"]
+        alive = paths["alive"]
+        throughput = paths["throughput"]
+        bsdf_pdf = paths["bsdf_pdf"]
+        pixel = paths["pixel"]
+
+        stats = dict(stats,
+                     extension_rays=stats["extension_rays"].at[li].set(
+                         jnp.sum(alive.astype(jnp.int32))))
+
+        # ---- trace (extend) ------------------------------------------------
+        t, prim, u, v = _intersect(scene, o, d, config)
+        prim = jnp.where(alive, prim, -1)
+
+        # primary depth into accumulator .w (pathtracer.h:81)
+        depth = jnp.where(prim >= 0, t, 10000.0)
+        acc = jax.lax.cond(
+            is_primary,
+            lambda a: a.at[pixel, 3].add(jnp.where(alive, depth, 0.0)),
+            lambda a: a, acc)
+
+        # ---- shade: sky on miss (pathtracer.h:84-91) -----------------------
+        miss = alive & (prim < 0)
+        sky_c = _masked_div(paths["throughput"] * sample_skydome(scene.sky, d),
+                            bsdf_pdf, miss)
+        sky_c = _fixnan(_clamp_intensity(sky_c, config.clamp_value)
+                        if config.clamp_fireflies else sky_c)
+        acc = acc.at[pixel].add(
+            jnp.where(miss[:, None], jnp.concatenate(
+                [sky_c, jnp.zeros((n, 1))], -1), 0.0))
+
+        hit = alive & (prim >= 0)
+        i_pos = o + t[:, None] * d
+        sd = get_shading_data(scene, d, t, prim, u, v, view.spread_angle,
+                              consistent_normals=config.consistent_normals)
+
+        # ---- implicit light hit (pathtracer.h:124-149) ---------------------
+        ddotnl = -dot(d, sd.n_geom)
+        lit = hit & sd.emissive & (ddotnl > 0)
+        l_pdf = calculate_light_pdf(d, t, sd.area, sd.n_geom)
+        pick_p = light_pick_prob(scene.lights, sd.ltri, o, paths["last_n"], i_pos)
+        denom_mis = bsdf_pdf + l_pdf * pick_p
+        c_mis = _masked_div(throughput * sd.color, denom_mis,
+                            lit & (denom_mis > 0))
+        c_spec = _masked_div(throughput * sd.color, bsdf_pdf, lit)
+        c_light = jnp.where(paths["prev_specular"][:, None], c_spec, c_mis)
+        if config.clamp_fireflies:
+            c_light = _clamp_intensity(c_light, config.clamp_value)
+        c_light = _fixnan(c_light)
+        acc = acc.at[pixel].add(
+            jnp.where(lit[:, None],
+                      jnp.concatenate([c_light, jnp.zeros((n, 1))], -1), 0.0))
+
+        active = hit & ~sd.emissive
+
+        # ---- prep (pathtracer.h:152-163) -----------------------------------
+        cur_spec = bsdf_lambert.is_specular_material(sd)
+        cam_seed, r0_frame = rng_mod.frame_r0(cam_seed, path_length)
+        seed = rng_mod.path_seed(paths["path_idx"], r0_frame)
+        face_dir = sd.face_dir
+        sd = sd.replace(absorption=jnp.where(
+            (face_dir == 1.0)[:, None], 0.0, sd.absorption))
+        throughput = _masked_div(throughput, bsdf_pdf, active)
+        fn_flip = sd.n_shading * face_dir[:, None]
+
+        # ---- NEE (pathtracer.h:165-204) ------------------------------------
+        seed, r0 = rng_mod.random_float(seed)
+        seed, r1 = rng_mod.random_float(seed)
+        nee_mask = active & ~cur_spec
+        ls = random_point_on_light(scene.lights, r0, r1, i_pos, fn_flip)
+        l_vec = ls["point"] - i_pos
+        dist = jnp.sqrt(jnp.maximum(dot(l_vec, l_vec), 1e-20))
+        l_dir = l_vec / dist[:, None]
+        n_dot_l = dot(l_dir, fn_flip)
+        e_bsdf, e_pdf = bsdf_lambert.evaluate(sd, sd.n_shading, -d, l_dir)
+        e_bsdf = e_bsdf * sd.roughness[:, None]   # BSDF_HAS_PURE_SPECULARS scale
+        conn_ok = nee_mask & (n_dot_l > 0) & (ls["light_pdf"] > 0) & (e_pdf > 0)
+        denom = ls["pick_prob"] * ls["light_pdf"] + e_pdf
+        potential = (throughput * e_bsdf * ls["color"]
+                     * _masked_div(n_dot_l, denom, conn_ok)[:, None])
+        potential = _fixnan(potential)
+        if config.clamp_fireflies:
+            potential = _clamp_intensity(potential, config.clamp_value)
+        shadow_o = safe_origin(i_pos, l_dir, sd.n_geom * face_dir[:, None], geo_eps)
+        shadow_tmax = jnp.where(conn_ok, dist - 2.0 * geo_eps, 0.0)
+        occ = _occluded(scene, shadow_o, l_dir, shadow_tmax, config)
+        lit_conn = conn_ok & ~occ
+        acc = acc.at[pixel].add(
+            jnp.where(lit_conn[:, None],
+                      jnp.concatenate([potential, jnp.zeros((n, 1))], -1), 0.0))
+        stats = dict(stats, shadow_rays=stats["shadow_rays"].at[li].set(
+            jnp.sum(conn_ok.astype(jnp.int32))))
+
+        # ---- bounce (pathtracer.h:207-239) ---------------------------------
+        may_extend = active & (paths["n_diffuse"] < config.max_diffuse_bounces) \
+            & (path_length < config.max_path_length)
+        seed, r3 = rng_mod.random_float(seed)
+        seed, r4 = rng_mod.random_float(seed)
+        smp = bsdf_lambert.sample(sd, sd.n_shading, sd.n_geom, -d, t, r3, r4)
+        ok_pdf = (smp["pdf"] >= EPSILON) & jnp.isfinite(smp["pdf"])
+        new_spec = smp["specular"]
+
+        # russian roulette (pathtracer.h:229-230)
+        seed, r5 = rng_mod.random_float(seed)
+        bounced = paths["n_diffuse"] > 0
+        surv = jnp.minimum(1.0, jnp.max(smp["bsdf"], axis=-1))
+        p_surv = jnp.where(new_spec | ~bounced, 1.0, surv)
+        if not config.russian_roulette:
+            p_surv = jnp.ones_like(p_surv)
+        rr_ok = r5 <= p_surv
+
+        extend = may_extend & ok_pdf & rr_ok
+        new_throughput = (_masked_div(throughput, p_surv, extend)
+                          * smp["bsdf"] * jnp.abs(dot(sd.n_shading, smp["wi"]))[:, None])
+        new_throughput = _fixnan(new_throughput)
+        new_o = safe_origin(i_pos, smp["wi"], sd.n_geom * face_dir[:, None], geo_eps)
+
+        paths = dict(
+            path_idx=paths["path_idx"],
+            origin=jnp.where(extend[:, None], new_o, o),
+            dir=jnp.where(extend[:, None], smp["wi"], d),
+            throughput=jnp.where(extend[:, None], new_throughput, throughput),
+            bsdf_pdf=jnp.where(extend, smp["pdf"], jnp.ones_like(bsdf_pdf)),
+            last_n=jnp.where(extend[:, None], fn_flip, paths["last_n"]),
+            prev_specular=jnp.where(extend, new_spec, paths["prev_specular"]),
+            n_diffuse=paths["n_diffuse"] + (extend & ~new_spec).astype(jnp.int32),
+            alive=extend,
+            pixel=pixel,
+        )
+        return (paths, acc, cam_seed, stats), None
+
+    (paths, acc, cam_seed, stats), _ = jax.lax.scan(
+        bounce, (paths, acc, cam_seed, stats0),
+        jnp.arange(config.max_path_length))
+
+    stats = dict(
+        stats,
+        primary_rays=jnp.int32(n),
+        total_extension=jnp.sum(stats["extension_rays"]),
+        total_shadow=jnp.sum(stats["shadow_rays"]),
+    )
+    return acc, cam_seed, stats
+
+
+def render_pass(scene: DeviceScene, view: ViewPyramid, state: AccumState,
+                config: RenderConfig):
+    """One progressive pass of spp_per_pass samples/pixel. Returns
+    (new AccumState, stats dict). Jit with config static."""
+    acc_delta, cam_seed, stats = trace_paths(
+        scene, view, config, None, state.sample_count, state.cam_seed)
+    new_state = AccumState(
+        accumulator=state.accumulator + acc_delta,
+        sample_count=state.sample_count + config.spp_per_pass,
+        cam_seed=cam_seed,
+    )
+    return new_state, stats
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_pass_jit(scene, view, state, config):
+    return render_pass(scene, view, state, config)
+
+
+def finalize(state: AccumState):
+    """accumulator / samplesTaken → linear HDR image [H*W? no: W*H,3]
+    (finalize_shared.h:29-45)."""
+    spp = jnp.maximum(state.sample_count, 1).astype(jnp.float32)
+    return state.accumulator[:, :3] / spp
