@@ -22,8 +22,24 @@ from flax import struct
 
 from lighthouse2_tpu.core.geometry import intersect_tri, BIG_T
 
-STACK_DEPTH = 64
-DEFAULT_CHUNK = 32768
+STACK_DEPTH = 48
+DEFAULT_CHUNK = 1 << 30   # effectively unchunked: wide calls win on TPU
+STEPS_PER_CHECK = 4       # traversal steps between while-loop convergence checks
+
+
+def _stack_set(stack, sptr, val):
+    """stack[i, sptr[i]] = val[i] without scatter (one-hot select — scatters
+    serialize on TPU, dense selects run at VPU speed)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+    return jnp.where(cols == sptr[:, None], val[:, None].astype(stack.dtype), stack)
+
+
+def _stack_get(stack, idx):
+    """stack[i, idx[i]] without per-row gather."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+    sel = jnp.where(cols == idx[:, None], stack,
+                    jnp.zeros((), stack.dtype))
+    return jnp.sum(sel, axis=1)
 
 
 @struct.dataclass
@@ -79,14 +95,11 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
         occ=jnp.zeros(r, bool),
         done=jnp.zeros(r, bool),
     )
-    # degenerate/empty BVH guard: a single-node tree still traverses fine
-    t_enter_limit = state["best_t"]
-    del t_enter_limit
 
     def cond(s):
         return jnp.any(~s["done"])
 
-    def body(s):
+    def step(s):
         node = s["node"]
         alive = ~s["done"]
         prune = s["cur_t"] >= s["best_t"]
@@ -127,12 +140,13 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
 
         sptr = s["sptr"]
         stack, tstack = s["stack"], s["tstack"]
-        # push far child (exclusive with pop this iteration)
+        # push far child (exclusive with pop this iteration); one-hot select,
+        # no scatter
         push_slot = jnp.clip(sptr, 0, STACK_DEPTH - 1)
-        cur_sv = stack[ar, push_slot]
-        cur_tv = tstack[ar, push_slot]
-        stack = stack.at[ar, push_slot].set(jnp.where(both, fnode, cur_sv))
-        tstack = tstack.at[ar, push_slot].set(jnp.where(both, ft, cur_tv))
+        stack = _stack_set(stack, push_slot,
+                           jnp.where(both, fnode, _stack_get(stack, push_slot)))
+        tstack = _stack_set(tstack, push_slot,
+                            jnp.where(both, ft, _stack_get(tstack, push_slot)))
         sptr = sptr + both.astype(jnp.int32)
 
         if anyhit:
@@ -148,8 +162,8 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
         done = s["done"] | (need_pop & (sptr == 0)) | newly_occluded
 
         pidx = jnp.clip(sptr - 1, 0, STACK_DEPTH - 1)
-        pnode = stack[ar, pidx]
-        pt = tstack[ar, pidx]
+        pnode = _stack_get(stack, pidx)
+        pt = _stack_get(tstack, pidx)
         node = jnp.where(goto, nnode, jnp.where(can_pop, pnode, node))
         cur_t = jnp.where(goto, nt, jnp.where(can_pop, pt, s["cur_t"]))
         sptr = sptr - can_pop.astype(jnp.int32)
@@ -157,6 +171,13 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
         return dict(node=node, cur_t=cur_t, sptr=sptr, stack=stack,
                     tstack=tstack, best_t=best_t, best_p=best_p,
                     best_u=best_u, best_v=best_v, occ=occ, done=done)
+
+    def body(s):
+        # several steps per convergence check: the while cond is a global
+        # reduction (device sync) — amortize it
+        for _ in range(STEPS_PER_CHECK):
+            s = step(s)
+        return s
 
     out = jax.lax.while_loop(cond, body, state)
     if anyhit:

@@ -147,6 +147,23 @@ class HostScene:
         self.dirty = True
         return len(self.dir_lights) - 1
 
+    def add_texture(self, texture) -> int:
+        self.textures.append(texture)
+        self.dirty = True
+        return len(self.textures) - 1
+
+    def load_obj(self, path, scale=1.0, flat_shaded=False) -> int:
+        """AddMesh-from-OBJ (render_api.h AddMesh analog)."""
+        from lighthouse2_tpu.scene.obj import load_obj
+        return self.add_mesh(load_obj(path, scene=self, scale=scale,
+                                      flat_shaded=flat_shaded))
+
+    def load_gltf(self, path, transform=None) -> list:
+        """AddScene analog (host_scene.cpp:230): loads a whole glTF scene
+        graph; returns the new root node ids."""
+        from lighthouse2_tpu.scene.gltf import load_gltf
+        return load_gltf(path, self, transform)
+
     def set_sky(self, pixels) -> None:
         """Equirect HDR pixels [H,W,3] or a constant color tuple."""
         p = np.asarray(pixels, np.float32)

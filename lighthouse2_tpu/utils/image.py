@@ -104,9 +104,10 @@ def write_hdr(path: str, image: np.ndarray) -> None:
     exp = np.zeros((h, w), np.int32)
     mant = np.zeros_like(img)
     nz = maxc > 1e-32
-    exp[nz] = np.ceil(np.log2(maxc[nz])).astype(np.int32) + 1
+    # 2^(exp-1) <= max < 2^exp so the mantissa lands in [128,255] (frexp)
+    exp[nz] = np.floor(np.log2(maxc[nz])).astype(np.int32) + 1
     scale = np.where(nz, 256.0 / np.exp2(exp), 0.0)
-    mant = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    mant = np.clip(img * scale[..., None] + 0.5, 0, 255).astype(np.uint8)
     rgbe = np.concatenate([mant, (exp + 128).clip(0, 255).astype(np.uint8)[..., None]], 2)
     rgbe[~nz] = 0
     with open(path, "wb") as f:
