@@ -1,12 +1,19 @@
-"""BVH traversal as a lockstep vectorized JAX kernel.
+"""BVH traversal as a lockstep vectorized JAX kernel — component-major.
 
 The reference traverses recursively with near-child-first ordering
 (RenderCore_Bart/bvh.cpp:258-302). Pointer-chasing recursion does not map to
 TPU, so this kernel runs ALL rays in lockstep through one `lax.while_loop`:
-each ray carries an explicit short stack ([STACK] node ids + entry-t for
-t-pruning) in registers/VMEM; every iteration pops/descends one node per ray
-with pure gathers + masked math. Rays are processed in fixed-size chunks via
-`lax.map` to bound the stack working set.
+each ray carries an explicit short stack; every iteration pops/descends one
+node per ray with pure gathers + masked math.
+
+TPU-critical layout decisions (measured on v5e):
+  - ALL vector math is component-major ([N] per x/y/z) — [N,3] arrays with
+    jnp.cross inside loops compile for minutes and run ~2000x slower;
+  - triangle data is packed [9, T] (v0,e1,e2 per component) so a leaf fetch
+    is one gather per component row;
+  - node boxes are packed [M, 8] so each child costs one row gather;
+  - stack updates are one-hot selects, not scatters;
+  - several traversal steps run between while-loop convergence checks.
 
 Traversal is intentionally non-differentiable (discrete hit selection); the
 renderer re-evaluates (t,u,v) differentiably from the winning primitive via
@@ -20,16 +27,15 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from lighthouse2_tpu.core.geometry import intersect_tri, BIG_T
+from lighthouse2_tpu.core.geometry import BIG_T, mt_comp
 
 STACK_DEPTH = 48
 DEFAULT_CHUNK = 1 << 30   # effectively unchunked: wide calls win on TPU
-STEPS_PER_CHECK = 4       # traversal steps between while-loop convergence checks
+STEPS_PER_CHECK = 4       # traversal steps between convergence checks
 
 
 def _stack_set(stack, sptr, val):
-    """stack[i, sptr[i]] = val[i] without scatter (one-hot select — scatters
-    serialize on TPU, dense selects run at VPU speed)."""
+    """stack[i, sptr[i]] = val[i] without scatter (one-hot select)."""
     cols = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
     return jnp.where(cols == sptr[:, None], val[:, None].astype(stack.dtype), stack)
 
@@ -37,50 +43,66 @@ def _stack_set(stack, sptr, val):
 def _stack_get(stack, idx):
     """stack[i, idx[i]] without per-row gather."""
     cols = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
-    sel = jnp.where(cols == idx[:, None], stack,
-                    jnp.zeros((), stack.dtype))
+    sel = jnp.where(cols == idx[:, None], stack, jnp.zeros((), stack.dtype))
     return jnp.sum(sel, axis=1)
 
 
 @struct.dataclass
 class DeviceBVH:
-    nmin: jnp.ndarray    # [N,3]
-    nmax: jnp.ndarray    # [N,3]
-    left: jnp.ndarray    # [N] int32: interior→left child; leaf→first prim slot
-    right: jnp.ndarray   # [N] int32: interior→right child; leaf→-1
-    count: jnp.ndarray   # [N] int32: 0 interior, >0 leaf prim count
+    nbox: jnp.ndarray    # [M,8] f32: min.xyz, max.xyz, pad, pad
+    left: jnp.ndarray    # [M] int32: interior→left child; leaf→first prim slot
+    right: jnp.ndarray   # [M] int32: interior→right child; leaf→-1
+    count: jnp.ndarray   # [M] int32: 0 interior, >0 leaf prim count
     prim: jnp.ndarray    # [T] int32 triangle ids, contiguous per leaf
+    tri9: jnp.ndarray    # [9,T] f32: v0.xyz, e1.xyz, e2.xyz (component-major)
     max_leaf: int = struct.field(pytree_node=False, default=4)
 
 
 def build_device_bvh(v0, v1, v2, max_leaf: int = 4) -> DeviceBVH:
+    import numpy as np
     from lighthouse2_tpu.bvh.builder import build_sah_bvh
     flat = build_sah_bvh(v0, v1, v2, max_leaf=max_leaf)
+    m = flat["nmin"].shape[0]
+    nbox = np.zeros((m, 8), np.float32)
+    nbox[:, 0:3] = flat["nmin"]
+    nbox[:, 3:6] = flat["nmax"]
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(v1, np.float32) - v0
+    e2 = np.asarray(v2, np.float32) - v0
+    tri9 = np.concatenate([v0.T, e1.T, e2.T], 0).astype(np.float32)
     return DeviceBVH(
-        nmin=jnp.asarray(flat["nmin"]), nmax=jnp.asarray(flat["nmax"]),
+        nbox=jnp.asarray(nbox),
         left=jnp.asarray(flat["left"]), right=jnp.asarray(flat["right"]),
         count=jnp.asarray(flat["count"]), prim=jnp.asarray(flat["prim"]),
-        max_leaf=max_leaf,
+        tri9=jnp.asarray(tri9), max_leaf=max_leaf,
     )
 
 
-def _slab(o, inv_d, bmin, bmax, t_best):
-    t0 = (bmin - o) * inv_d
-    t1 = (bmax - o) * inv_d
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+def _slab_c(ox, oy, oz, ix, iy, iz, box, t_best):
+    """Component-major slab test. box [N,8] gathered node row."""
+    t0x = (box[:, 0] - ox) * ix
+    t1x = (box[:, 3] - ox) * ix
+    t0y = (box[:, 1] - oy) * iy
+    t1y = (box[:, 4] - oy) * iy
+    t0z = (box[:, 2] - oz) * iz
+    t1z = (box[:, 5] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
     hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best)
     return tn, hit
 
 
-def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
-    """Lockstep traversal of one chunk of rays. Returns closest-hit tuple or
-    occlusion mask (anyhit=True)."""
+def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, anyhit: bool):
+    """Lockstep traversal of one chunk of rays (component-major inside)."""
     r = o.shape[0]
     max_leaf = bvh.max_leaf
-    d_safe = jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
-    inv_d = 1.0 / d_safe
-    ar = jnp.arange(r)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    ds = jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    ix, iy, iz = 1.0 / ds[:, 0], 1.0 / ds[:, 1], 1.0 / ds[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    karange = jnp.arange(max_leaf)
 
     state = dict(
         node=jnp.zeros(r, jnp.int32),
@@ -107,27 +129,39 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
         is_leaf = alive & ~prune & (cnt > 0)
         is_int = alive & ~prune & (cnt == 0)
 
+        # ---- leaf: batched [N, max_leaf] triangle tests -------------------
         first = bvh.left[node]
         best_t, best_p = s["best_t"], s["best_p"]
         best_u, best_v = s["best_u"], s["best_v"]
         occ = s["occ"]
-        for k in range(max_leaf):
-            slot = jnp.clip(first + k, 0, bvh.prim.shape[0] - 1)
-            pid = bvh.prim[slot]
-            mask = is_leaf & (k < cnt)
-            t, u, v, h = intersect_tri(o, d, v0[pid], e1[pid], e2[pid],
-                                       t_max=best_t)
-            upd = mask & h & (t < best_t)
-            best_t = jnp.where(upd, t, best_t)
-            best_p = jnp.where(upd, pid, best_p)
-            best_u = jnp.where(upd, u, best_u)
-            best_v = jnp.where(upd, v, best_v)
-            occ = occ | upd
+        slots = jnp.clip(first[:, None] + karange[None, :], 0,
+                         bvh.prim.shape[0] - 1)
+        pid = bvh.prim[slots]                       # [N,L]
+        g = bvh.tri9[:, pid]                        # [9,N,L]
+        t, u, v, h = mt_comp(
+            ox[:, None], oy[:, None], oz[:, None],
+            dx[:, None], dy[:, None], dz[:, None],
+            g[0], g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8],
+            jnp.float32(1e-6), best_t[:, None])
+        h = h & is_leaf[:, None] & (karange[None, :] < cnt[:, None])
+        t = jnp.where(h, t, BIG_T)
+        j = jnp.argmin(t, axis=1)
+        tj = jnp.min(t, axis=1)
+        upd = tj < best_t
+        best_p = jnp.where(upd, jnp.take_along_axis(pid, j[:, None], 1)[:, 0],
+                           best_p)
+        best_u = jnp.where(upd, jnp.take_along_axis(u, j[:, None], 1)[:, 0],
+                           best_u)
+        best_v = jnp.where(upd, jnp.take_along_axis(v, j[:, None], 1)[:, 0],
+                           best_v)
+        best_t = jnp.where(upd, tj, best_t)
+        occ = occ | upd
 
+        # ---- interior: test both children ---------------------------------
         l = bvh.left[node]
         rt = bvh.right[node]
-        tl, hl = _slab(o, inv_d, bvh.nmin[l], bvh.nmax[l], best_t)
-        tr, hr = _slab(o, inv_d, bvh.nmin[rt], bvh.nmax[rt], best_t)
+        tl, hl = _slab_c(ox, oy, oz, ix, iy, iz, bvh.nbox[l], best_t)
+        tr, hr = _slab_c(ox, oy, oz, ix, iy, iz, bvh.nbox[rt], best_t)
         hl = hl & is_int
         hr = hr & is_int
         both = hl & hr
@@ -140,8 +174,6 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
 
         sptr = s["sptr"]
         stack, tstack = s["stack"], s["tstack"]
-        # push far child (exclusive with pop this iteration); one-hot select,
-        # no scatter
         push_slot = jnp.clip(sptr, 0, STACK_DEPTH - 1)
         stack = _stack_set(stack, push_slot,
                            jnp.where(both, fnode, _stack_get(stack, push_slot)))
@@ -150,11 +182,11 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
         sptr = sptr + both.astype(jnp.int32)
 
         if anyhit:
-            # terminate occluded rays immediately (fire-and-forget shadow rays,
-            # OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT analog, .optix.cu:137-149)
+            # fire-and-forget shadow rays: stop at first hit
+            # (OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT analog, .optix.cu:137-149)
             newly_occluded = occ & alive
         else:
-            newly_occluded = jnp.zeros_like(occ) & False
+            newly_occluded = jnp.zeros_like(occ)
 
         goto = any_h & ~newly_occluded
         need_pop = alive & ~goto & ~newly_occluded
@@ -173,8 +205,6 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, v0, e1, e2, anyhit: bool):
                     best_u=best_u, best_v=best_v, occ=occ, done=done)
 
     def body(s):
-        # several steps per convergence check: the while cond is a global
-        # reduction (device sync) — amortize it
         for _ in range(STEPS_PER_CHECK):
             s = step(s)
         return s
@@ -200,45 +230,40 @@ def _chunked(o, d, t_max, fn, chunk):
         lambda args: fn(*args),
         (o.reshape(nc, chunk, 3), d.reshape(nc, chunk, 3), t_max.reshape(nc, chunk)),
     )
-    unpack = jax.tree_util.tree_map(lambda x: x.reshape(-1, *x.shape[2:])[:n], res)
-    return unpack
+    return jax.tree_util.tree_map(lambda x: x.reshape(-1, *x.shape[2:])[:n], res)
 
 
-def bvh_intersect(o, d, bvh: DeviceBVH, v0, e1, e2,
+def bvh_intersect(o, d, bvh: DeviceBVH, v0=None, e1=None, e2=None,
                   t_max=BIG_T, chunk: int = DEFAULT_CHUNK):
     """Closest hit of [N] rays. Returns (t, prim, u, v); prim=-1 on miss.
 
     Non-differentiable (stop_gradient inside); pair with `refine_hit`.
+    v0/e1/e2 args are accepted for API compatibility; triangle data comes
+    from bvh.tri9.
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
-    v0 = jax.lax.stop_gradient(v0)
-    e1 = jax.lax.stop_gradient(e1)
-    e2 = jax.lax.stop_gradient(e2)
-    fn = functools.partial(_run_closest, bvh=bvh, v0=v0, e1=e1, e2=e2)
+    bvh = jax.lax.stop_gradient(bvh)
+    fn = functools.partial(_run_closest, bvh=bvh)
     return _chunked(o, d, t_max, fn, chunk)
 
 
-def _run_closest(o, d, t_max, bvh, v0, e1, e2):
-    return _traverse_chunk(o, d, t_max, bvh, v0, e1, e2, anyhit=False)
+def _run_closest(o, d, t_max, bvh):
+    return _traverse_chunk(o, d, t_max, bvh, anyhit=False)
 
 
-def bvh_occluded(o, d, t_max, bvh: DeviceBVH, v0, e1, e2,
+def bvh_occluded(o, d, t_max, bvh: DeviceBVH, v0=None, e1=None, e2=None,
                  chunk: int = DEFAULT_CHUNK):
     """Any-hit occlusion of [N] rays before t_max. Returns bool [N]."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
-    fn = functools.partial(
-        _run_anyhit, bvh=bvh,
-        v0=jax.lax.stop_gradient(v0),
-        e1=jax.lax.stop_gradient(e1),
-        e2=jax.lax.stop_gradient(e2),
-    )
+    bvh = jax.lax.stop_gradient(bvh)
+    fn = functools.partial(_run_anyhit, bvh=bvh)
     return _chunked(o, d, t_max, fn, chunk)
 
 
-def _run_anyhit(o, d, t_max, bvh, v0, e1, e2):
-    return _traverse_chunk(o, d, t_max, bvh, v0, e1, e2, anyhit=True)
+def _run_anyhit(o, d, t_max, bvh):
+    return _traverse_chunk(o, d, t_max, bvh, anyhit=True)
 
 
 def refine_hit(o, d, prim, v0, e1, e2):
@@ -247,10 +272,16 @@ def refine_hit(o, d, prim, v0, e1, e2):
     Gradients flow from the hit point to ray origin/direction AND to the
     triangle vertices — the reparameterized-hit trick that replaces
     differentiating through discrete BVH traversal (SURVEY.md §7.3.3).
+    Component-major to keep the bounce scan TPU-fast.
     """
     p = jnp.maximum(prim, 0)
-    t, u, v, h = intersect_tri(o, d, v0[p], e1[p], e2[p],
-                               t_min=jnp.float32(-BIG_T), t_max=BIG_T)
+    gv0, ge1, ge2 = v0[p], e1[p], e2[p]
+    t, u, v, h = mt_comp(
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        gv0[:, 0], gv0[:, 1], gv0[:, 2],
+        ge1[:, 0], ge1[:, 1], ge1[:, 2],
+        ge2[:, 0], ge2[:, 1], ge2[:, 2],
+        jnp.float32(-BIG_T), BIG_T)
     valid = prim >= 0
     return (jnp.where(valid, t, BIG_T), jnp.where(valid, u, 0.0),
             jnp.where(valid, v, 0.0), valid & h)

@@ -151,6 +151,34 @@ def intersect_tri(o, d, v0, e1, e2, t_min=EPSILON, t_max=BIG_T):
     return jnp.where(hit, t, BIG_T), u, v, hit
 
 
+def mt_comp(ox, oy, oz, dx, dy, dz,
+            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+            t_min, t_max):
+    """Component-major Möller–Trumbore (common.h:19-51). Broadcasts.
+
+    TPU-critical: [N,3] jnp.cross formulations inside loops are ~2000x
+    slower on v5e (layout churn); all hot intersection paths use this form.
+    """
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    valid = jnp.abs(a) > 1e-9
+    f = 1.0 / jnp.where(valid, a, 1.0)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    hit = (valid & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > t_min) & (t < t_max))
+    return jnp.where(hit, t, BIG_T), u, v, hit
+
+
 def intersect_aabb(o, inv_d, bmin, bmax, t_max):
     """Slab test (bvh.cpp:7-42). Returns (t_near, hit). inv_d = 1/d."""
     t0 = (bmin - o) * inv_d
@@ -196,13 +224,19 @@ def intersect_bruteforce(o, d, v0, e1, e2, t_max=BIG_T, chunk=1024):
         jnp.zeros((n,), jnp.float32),
     )
 
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
     def body(carry, tris):
         bt, bp, bu, bv, base = carry[0], carry[1], carry[2], carry[3], carry[4]
         cv0, ce1, ce2 = tris
-        # [N, chunk] pairwise test
-        t, u, v, hit = intersect_tri(
-            o[:, None, :], d[:, None, :], cv0[None], ce1[None], ce2[None],
-            t_max=jnp.minimum(bt, t_max)[:, None],
+        # [N, chunk] pairwise test, component-major (TPU layout)
+        t, u, v, hit = mt_comp(
+            ox, oy, oz, dx, dy, dz,
+            cv0[None, :, 0], cv0[None, :, 1], cv0[None, :, 2],
+            ce1[None, :, 0], ce1[None, :, 1], ce1[None, :, 2],
+            ce2[None, :, 0], ce2[None, :, 1], ce2[None, :, 2],
+            EPSILON, jnp.minimum(bt, t_max)[:, None],
         )
         t = jnp.where(hit, t, BIG_T)
         j = jnp.argmin(t, axis=1)
@@ -239,11 +273,17 @@ def occluded_bruteforce(o, d, t_max, v0, e1, e2, chunk=1024):
     e1c = e1.reshape(n_chunks, chunk, 3)
     e2c = e2.reshape(n_chunks, chunk, 3)
 
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
     def body(occ, tris):
         cv0, ce1, ce2 = tris
-        _, _, _, hit = intersect_tri(
-            o[:, None, :], d[:, None, :], cv0[None], ce1[None], ce2[None],
-            t_max=t_max[:, None],
+        _, _, _, hit = mt_comp(
+            ox, oy, oz, dx, dy, dz,
+            cv0[None, :, 0], cv0[None, :, 1], cv0[None, :, 2],
+            ce1[None, :, 0], ce1[None, :, 1], ce1[None, :, 2],
+            ce2[None, :, 0], ce2[None, :, 1], ce2[None, :, 2],
+            EPSILON, t_max[:, None],
         )
         return occ | jnp.any(hit, axis=1), None
 

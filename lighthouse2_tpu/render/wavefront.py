@@ -188,6 +188,10 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
     layer) or None for all paths."""
     wh = config.width * config.height
     geo_eps = jnp.float32(config.geometry_epsilon)
+    if config.bsdf == "disney":
+        from lighthouse2_tpu.render import bsdf_disney as bsdf_mod
+    else:
+        bsdf_mod = bsdf_lambert
 
     paths = generate_eye_rays(view, config, sample_base, path_idx)
     n = paths["path_idx"].shape[0]
@@ -258,7 +262,7 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
         active = hit & ~sd.emissive
 
         # ---- prep (pathtracer.h:152-163) -----------------------------------
-        cur_spec = bsdf_lambert.is_specular_material(sd)
+        cur_spec = bsdf_mod.is_specular_material(sd)
         cam_seed, r0_frame = rng_mod.frame_r0(cam_seed, path_length)
         seed = rng_mod.path_seed(paths["path_idx"], r0_frame)
         face_dir = sd.face_dir
@@ -276,8 +280,10 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
         dist = jnp.sqrt(jnp.maximum(dot(l_vec, l_vec), 1e-20))
         l_dir = l_vec / dist[:, None]
         n_dot_l = dot(l_dir, fn_flip)
-        e_bsdf, e_pdf = bsdf_lambert.evaluate(sd, sd.n_shading, -d, l_dir)
-        e_bsdf = e_bsdf * sd.roughness[:, None]   # BSDF_HAS_PURE_SPECULARS scale
+        e_bsdf, e_pdf = bsdf_mod.evaluate(sd, sd.n_shading, -d, l_dir)
+        if config.bsdf == "lambert":
+            # BSDF_HAS_PURE_SPECULARS scale (lambert.h:19-30)
+            e_bsdf = e_bsdf * sd.roughness[:, None]
         conn_ok = nee_mask & (n_dot_l > 0) & (ls["light_pdf"] > 0) & (e_pdf > 0)
         denom = ls["pick_prob"] * ls["light_pdf"] + e_pdf
         potential = (throughput * e_bsdf * ls["color"]
@@ -300,7 +306,7 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
             & (path_length < config.max_path_length)
         seed, r3 = rng_mod.random_float(seed)
         seed, r4 = rng_mod.random_float(seed)
-        smp = bsdf_lambert.sample(sd, sd.n_shading, sd.n_geom, -d, t, r3, r4)
+        smp = bsdf_mod.sample(sd, sd.n_shading, sd.n_geom, -d, t, r3, r4)
         ok_pdf = (smp["pdf"] >= EPSILON) & jnp.isfinite(smp["pdf"])
         new_spec = smp["specular"]
 
