@@ -49,7 +49,7 @@ def _stack_get(stack, idx):
 
 @struct.dataclass
 class DeviceBVH:
-    nbox: jnp.ndarray    # [M,8] f32: min.xyz, max.xyz, pad, pad
+    nbox: jnp.ndarray    # [6,M] f32 component-major: min.x/y/z, max.x/y/z
     left: jnp.ndarray    # [M] int32: interior→left child; leaf→first prim slot
     right: jnp.ndarray   # [M] int32: interior→right child; leaf→-1
     count: jnp.ndarray   # [M] int32: 0 interior, >0 leaf prim count
@@ -62,10 +62,7 @@ def build_device_bvh(v0, v1, v2, max_leaf: int = 4) -> DeviceBVH:
     import numpy as np
     from lighthouse2_tpu.bvh.builder import build_sah_bvh
     flat = build_sah_bvh(v0, v1, v2, max_leaf=max_leaf)
-    m = flat["nmin"].shape[0]
-    nbox = np.zeros((m, 8), np.float32)
-    nbox[:, 0:3] = flat["nmin"]
-    nbox[:, 3:6] = flat["nmax"]
+    nbox = np.concatenate([flat["nmin"].T, flat["nmax"].T], 0).astype(np.float32)
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(v1, np.float32) - v0
     e2 = np.asarray(v2, np.float32) - v0
@@ -78,14 +75,16 @@ def build_device_bvh(v0, v1, v2, max_leaf: int = 4) -> DeviceBVH:
     )
 
 
-def _slab_c(ox, oy, oz, ix, iy, iz, box, t_best):
-    """Component-major slab test. box [N,8] gathered node row."""
-    t0x = (box[:, 0] - ox) * ix
-    t1x = (box[:, 3] - ox) * ix
-    t0y = (box[:, 1] - oy) * iy
-    t1y = (box[:, 4] - oy) * iy
-    t0z = (box[:, 2] - oz) * iz
-    t1z = (box[:, 5] - oz) * iz
+def _slab_c(ox, oy, oz, ix, iy, iz, nbox, nid, t_best):
+    """Component-major slab test; per-component [N] gathers from [6,M]
+    (a [N,8] row gather + column slicing triggers a pathological XLA path
+    on this TPU backend — measured 2000x slower)."""
+    t0x = (nbox[0, nid] - ox) * ix
+    t1x = (nbox[3, nid] - ox) * ix
+    t0y = (nbox[1, nid] - oy) * iy
+    t1y = (nbox[4, nid] - oy) * iy
+    t0z = (nbox[2, nid] - oz) * iz
+    t1z = (nbox[5, nid] - oz) * iz
     tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                      jnp.minimum(t0z, t1z))
     tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
@@ -102,7 +101,6 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, anyhit: bool):
     ds = jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
     ix, iy, iz = 1.0 / ds[:, 0], 1.0 / ds[:, 1], 1.0 / ds[:, 2]
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
-    karange = jnp.arange(max_leaf)
 
     state = dict(
         node=jnp.zeros(r, jnp.int32),
@@ -129,39 +127,33 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, anyhit: bool):
         is_leaf = alive & ~prune & (cnt > 0)
         is_int = alive & ~prune & (cnt == 0)
 
-        # ---- leaf: batched [N, max_leaf] triangle tests -------------------
+        # ---- leaf: unrolled incremental triangle tests ([N]-only math;
+        # batched [N,L] + argmin/take_along_axis hits a pathological XLA
+        # path on this backend) -------------------------------------------
         first = bvh.left[node]
         best_t, best_p = s["best_t"], s["best_p"]
         best_u, best_v = s["best_u"], s["best_v"]
         occ = s["occ"]
-        slots = jnp.clip(first[:, None] + karange[None, :], 0,
-                         bvh.prim.shape[0] - 1)
-        pid = bvh.prim[slots]                       # [N,L]
-        g = bvh.tri9[:, pid]                        # [9,N,L]
-        t, u, v, h = mt_comp(
-            ox[:, None], oy[:, None], oz[:, None],
-            dx[:, None], dy[:, None], dz[:, None],
-            g[0], g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8],
-            jnp.float32(1e-6), best_t[:, None])
-        h = h & is_leaf[:, None] & (karange[None, :] < cnt[:, None])
-        t = jnp.where(h, t, BIG_T)
-        j = jnp.argmin(t, axis=1)
-        tj = jnp.min(t, axis=1)
-        upd = tj < best_t
-        best_p = jnp.where(upd, jnp.take_along_axis(pid, j[:, None], 1)[:, 0],
-                           best_p)
-        best_u = jnp.where(upd, jnp.take_along_axis(u, j[:, None], 1)[:, 0],
-                           best_u)
-        best_v = jnp.where(upd, jnp.take_along_axis(v, j[:, None], 1)[:, 0],
-                           best_v)
-        best_t = jnp.where(upd, tj, best_t)
-        occ = occ | upd
+        for k in range(max_leaf):
+            slot = jnp.clip(first + k, 0, bvh.prim.shape[0] - 1)
+            pid = bvh.prim[slot]
+            g = bvh.tri9[:, pid]                    # [9,N]
+            t, u, v, h = mt_comp(
+                ox, oy, oz, dx, dy, dz,
+                g[0], g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8],
+                jnp.float32(1e-6), best_t)
+            h = h & is_leaf & (k < cnt)
+            best_p = jnp.where(h, pid, best_p)
+            best_u = jnp.where(h, u, best_u)
+            best_v = jnp.where(h, v, best_v)
+            best_t = jnp.where(h, t, best_t)
+            occ = occ | h
 
         # ---- interior: test both children ---------------------------------
         l = bvh.left[node]
         rt = bvh.right[node]
-        tl, hl = _slab_c(ox, oy, oz, ix, iy, iz, bvh.nbox[l], best_t)
-        tr, hr = _slab_c(ox, oy, oz, ix, iy, iz, bvh.nbox[rt], best_t)
+        tl, hl = _slab_c(ox, oy, oz, ix, iy, iz, bvh.nbox, l, best_t)
+        tr, hr = _slab_c(ox, oy, oz, ix, iy, iz, bvh.nbox, rt, best_t)
         hl = hl & is_int
         hr = hr & is_int
         both = hl & hr
@@ -266,21 +258,20 @@ def _run_anyhit(o, d, t_max, bvh):
     return _traverse_chunk(o, d, t_max, bvh, anyhit=True)
 
 
-def refine_hit(o, d, prim, v0, e1, e2):
+def refine_hit(o, d, prim, tri9):
     """Differentiably recompute (t,u,v) for a known hit primitive.
 
     Gradients flow from the hit point to ray origin/direction AND to the
-    triangle vertices — the reparameterized-hit trick that replaces
+    triangle data — the reparameterized-hit trick that replaces
     differentiating through discrete BVH traversal (SURVEY.md §7.3.3).
-    Component-major to keep the bounce scan TPU-fast.
+    tri9 is the [9,T] component-major triangle array (row-gather+slice of
+    [T,3] arrays hits the pathological XLA path on this backend).
     """
     p = jnp.maximum(prim, 0)
-    gv0, ge1, ge2 = v0[p], e1[p], e2[p]
+    g = tri9[:, p]
     t, u, v, h = mt_comp(
         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-        gv0[:, 0], gv0[:, 1], gv0[:, 2],
-        ge1[:, 0], ge1[:, 1], ge1[:, 2],
-        ge2[:, 0], ge2[:, 1], ge2[:, 2],
+        g[0], g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8],
         jnp.float32(-BIG_T), BIG_T)
     valid = prim >= 0
     return (jnp.where(valid, t, BIG_T), jnp.where(valid, u, 0.0),

@@ -58,6 +58,67 @@ class WavefrontCore(RenderCore):
         return np.asarray(img).reshape(self.config.height, self.config.width, 3)
 
 
+@register_core("wavefront_filter")
+class FilteredWavefrontCore(RenderCore):
+    """1-spp real-time core with SVGF + TAA (RenderCore_Optix7Filter analog).
+
+    Each render() traces ONE pass, splits direct/indirect, filters with
+    temporal history; converge=False resets the history (camera moved)."""
+
+    def __init__(self, config: RenderConfig):
+        config = dataclasses.replace(config, filter_enabled=True)
+        super().__init__(config)
+        self.state = None
+        self.filter_state = None
+        self.taa_state = None
+        self.image = None
+
+    def on_target_changed(self):
+        self.state = self.filter_state = self.taa_state = None
+
+    def render(self, device_scene, view, converge: bool = True) -> dict:
+        from lighthouse2_tpu.render.filter import (
+            FilterState, TAAState, svgf_filter, taa, unsharpen)
+        import jax.numpy as jnp
+        h, w = self.config.height, self.config.width
+        if self.filter_state is None or not converge:
+            self.filter_state = FilterState.make(h, w)
+            self.taa_state = TAAState.make(h, w)
+        t0 = time.perf_counter()
+        state = AccumState.make(self.config)   # fresh accumulator every frame
+        state, stats = render_pass_jit(device_scene, view, state, self.config)
+        aux = stats["filter_aux"]
+        img = lambda x: jnp.asarray(x).reshape(h, w, *x.shape[1:])
+        spp = max(1, self.config.spp_per_pass)
+        direct = img(state.accumulator[:, :3]) / spp
+        indirect = img(aux["indirect"]) / spp
+        color, self.filter_state = svgf_filter(
+            direct, indirect, img(aux["albedo"]), img(aux["normal"]),
+            img(aux["depth"]), img(aux["world_pos"]), self.filter_state,
+            direct_clamp=self.config.clamp_direct,
+            indirect_clamp=self.config.clamp_indirect)
+        if self.config.taa_enabled:
+            color, self.taa_state = taa(color, self.taa_state)
+            color = unsharpen(color)
+        self.image = np.asarray(color)
+        jax.block_until_ready(color)
+        wall = time.perf_counter() - t0
+        ext = int(stats["total_extension"])
+        shad = int(stats["total_shadow"])
+        self.stats = {
+            "render_time": wall,
+            "primary_rays": int(stats["primary_rays"]),
+            "extension_rays": ext, "shadow_rays": shad,
+            "total_rays": ext + shad,
+            "mrays_per_s": (ext + shad) / max(wall, 1e-9) / 1e6,
+            "spp": spp,
+        }
+        return self.stats
+
+    def get_image(self) -> np.ndarray:
+        return self.image
+
+
 @register_core("primeref")
 class PrimeRefCore(WavefrontCore):
     def __init__(self, config: RenderConfig):

@@ -1,0 +1,247 @@
+"""SVGF-style spatiotemporal filter + TAA (reference:
+lib/CUDA/shared_kernel_code/finalize_shared.h, RenderCore_Optix7Filter).
+
+Reference pipeline per frame (rendercore.cpp:828-862):
+  prepareFilter (albedo demodulation + clamp + temporal moments 0.2/0.8)
+  → applyFilter phase 1..3 (à-trous wavelet, edge-stopping weights on
+    normal^128 / depth-plane / luminance-variance; phase 1 adds temporal
+    blending with YCoCg neighborhood clamping)
+  → TAA (Marco Salvi variance clipping) → unsharpen.
+
+TPU-native re-design: every kernel becomes shifted-array stencil math over
+[H,W] images (jnp.pad + static slices → XLA fuses the 21-tap à-trous into
+one pass); history reprojection currently supports the static-camera path
+(motion = identity) with world-position-consistency gating — moving-camera
+reprojection is a TODO hook.
+
+All state lives in `FilterState` (the prev* ping-pong buffers of
+rendercore.cpp:845-859).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class FilterState:
+    """Temporal history (prev moments / shading / world pos)."""
+    moments: jnp.ndarray      # [H,W,4] lumDir, lumDir2, lumInd, lumInd2
+    shading: jnp.ndarray      # [H,W,6] filtered direct+indirect of prev frame
+    world_pos: jnp.ndarray    # [H,W,3]
+    history: jnp.ndarray      # [H,W] int32 history length (0..15)
+
+    @staticmethod
+    def make(h, w):
+        return FilterState(
+            moments=jnp.zeros((h, w, 4), jnp.float32),
+            shading=jnp.zeros((h, w, 6), jnp.float32),
+            world_pos=jnp.full((h, w, 3), 1e30, jnp.float32),
+            history=jnp.zeros((h, w), jnp.int32),
+        )
+
+
+def _luminance(v):
+    return 0.2126 * v[..., 0] + 0.7152 * v[..., 1] + 0.0722 * v[..., 2]
+
+
+def _rgb_to_ycocg(c):
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    return jnp.stack([0.25 * r + 0.5 * g + 0.25 * b,
+                      0.5 * r - 0.5 * b,
+                      -0.25 * r + 0.5 * g - 0.25 * b], -1)
+
+
+def _ycocg_to_rgb(c):
+    y, co, cg = c[..., 0], c[..., 1], c[..., 2]
+    return jnp.stack([y + co - cg, y + cg, y - co - cg], -1)
+
+
+def _shift(img, dy, dx):
+    """Shift with edge clamp: out[y,x] = img[y+dy, x+dx]."""
+    h, w = img.shape[:2]
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    pad = [(py1, py0), (px1, px0)] + [(0, 0)] * (img.ndim - 2)
+    out = jnp.pad(img, pad, mode="edge")
+    return out[py0:py0 + h, px0:px0 + w]
+
+
+# à-trous tap pattern (finalize_shared.h:244-249): vv in -2..2,
+# uu range narrows to ±1 on the outer rows
+_TAPS = [(vv, uu) for vv in range(-2, 3)
+         for uu in range(-(1 if abs(vv) == 2 else 2), (1 if abs(vv) == 2 else 2) + 1)
+         if not (uu == 0 and vv == 0)]
+
+
+def atrous_pass(direct, indirect, albedo, normal, depth, ddxy, moments,
+                history, phase):
+    """One à-trous wavelet pass (applyFilterKernel, finalize_shared.h:205-369).
+
+    All inputs are [H,W,...] images. Returns filtered (direct, indirect).
+    """
+    step = 1 << (phase - 1)
+    sigma = 10.0 * (0.5 ** (phase - 1))
+    factor = jnp.where(history == 0, 400.0, 1.0)
+    var_dir = jnp.maximum(moments[..., 1] - moments[..., 0] ** 2, 0.0)
+    var_ind = jnp.maximum(moments[..., 3] - moments[..., 2] ** 2, 0.0)
+    reci_dir = -1.0 / (sigma * factor * jnp.sqrt(var_dir + 1e-5) + 1e-5)
+    reci_ind = -1.0 / (sigma * factor * jnp.sqrt(var_ind + 1e-5) + 1e-5)
+
+    lum_dir = _luminance(direct)
+    lum_ind = _luminance(indirect)
+    ddx = ddxy[..., 0]
+    ddy = ddxy[..., 1]
+
+    dir_sum = direct
+    ind_sum = indirect
+    w_dir_sum = jnp.ones_like(lum_dir)
+    w_ind_sum = jnp.ones_like(lum_ind)
+
+    for (vv, uu) in _TAPS:
+        n_dir = _shift(direct, vv * step, uu * step)
+        n_ind = _shift(indirect, vv * step, uu * step)
+        n_nrm = _shift(normal, vv * step, uu * step)
+        n_dep = _shift(depth, vv * step, uu * step)
+        n_alb = _shift(albedo, vv * step, uu * step)
+        w_dist = (uu * uu + vv * vv) * (-1.0 / 7.5)
+        w_normal = jnp.maximum(0.0, jnp.sum(n_nrm * normal, -1)) ** 128
+        expected = depth + ddx * (uu * step) + ddy * (vv * step)
+        depth_err = jnp.abs(expected - n_dep)
+        expected_diff = jnp.abs(expected - depth)
+        w_depth = depth_err / jnp.maximum(1e-5, (0.5 + phase * 0.5) * expected_diff)
+        w_normal = w_normal * jnp.sum(albedo * n_alb, -1)
+        w_d = w_normal * jnp.exp(
+            jnp.abs(lum_dir - _luminance(n_dir)) * reci_dir + w_dist - w_depth)
+        w_i = w_normal * jnp.exp(
+            jnp.abs(lum_ind - _luminance(n_ind)) * reci_ind + w_dist - w_depth)
+        w_d = jnp.where(jnp.isfinite(w_d), w_d, 0.0)
+        w_i = jnp.where(jnp.isfinite(w_i), w_i, 0.0)
+        dir_sum = dir_sum + n_dir * w_d[..., None]
+        ind_sum = ind_sum + n_ind * w_i[..., None]
+        w_dir_sum = w_dir_sum + w_d
+        w_ind_sum = w_ind_sum + w_i
+
+    return (dir_sum / jnp.maximum(w_dir_sum, 1e-4)[..., None],
+            ind_sum / jnp.maximum(w_ind_sum, 1e-4)[..., None])
+
+
+def _neighborhood_clamp(img_ycocg_center, a_direct, a_indirect, prev_d, prev_i):
+    """YCoCg 3x3 neighborhood clamping (finalize_shared.h:305-345)."""
+    def stats(img):
+        acc = _rgb_to_ycocg(img)
+        s = acc
+        s2 = acc * acc
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                n = _rgb_to_ycocg(_shift(img, dy, dx))
+                s = s + n
+                s2 = s2 + n * n
+        avg = s / 9.0
+        var = jnp.maximum(s2 / 9.0 - avg * avg, 0.0)
+        sig = jnp.sqrt(var)
+        return avg - 0.75 * sig, avg + 0.75 * sig
+
+    lo_d, hi_d = stats(a_direct)
+    lo_i, hi_i = stats(a_indirect)
+    pd = jnp.clip(_rgb_to_ycocg(prev_d), lo_d, hi_d)
+    pi = jnp.clip(_rgb_to_ycocg(prev_i), lo_i, hi_i)
+    return _ycocg_to_rgb(pd), _ycocg_to_rgb(pi)
+
+
+def svgf_filter(direct, indirect, albedo, normal, depth, world_pos,
+                state: FilterState, direct_clamp=15.0, indirect_clamp=2.5,
+                n_phases=3):
+    """Full SVGF frame (static-camera reprojection).
+
+    Inputs are per-pixel [H,W,3|1] images: raw direct/indirect radiance
+    (NOT albedo-demodulated), primary-hit features. Returns
+    (filtered_color [H,W,3], new FilterState).
+    """
+    # --- prepare (finalize_shared.h:102-199) -------------------------------
+    reci_albedo = 1.0 / jnp.maximum(albedo, 1e-4)
+    d_l = jnp.minimum(direct * reci_albedo, direct_clamp)
+    i_l = jnp.minimum(indirect * reci_albedo, indirect_clamp)
+    lum = jnp.stack([_luminance(d_l), _luminance(d_l) ** 2,
+                     _luminance(i_l), _luminance(i_l) ** 2], -1)
+    # history consistency: same surface within allowed distance
+    ddx = jnp.abs(depth - _shift(depth, 0, 1))
+    ddy = jnp.abs(depth - _shift(depth, 1, 0))
+    ddxy = jnp.stack([ddx, ddy], -1)
+    allowed = jnp.maximum(0.05, ddx + ddy)
+    wp_dist = jnp.linalg.norm(world_pos - state.world_pos, axis=-1)
+    consistent = wp_dist < allowed
+    moments = jnp.where(consistent[..., None],
+                        0.2 * lum + 0.8 * state.moments, lum)
+    history = jnp.where(consistent, jnp.minimum(state.history + 1, 15), 0)
+
+    # --- à-trous phases (rendercore.cpp:838-842) ---------------------------
+    d_f, i_f = d_l, i_l
+    for phase in range(1, n_phases + 1):
+        d_new, i_new = atrous_pass(d_f, i_f, albedo, normal, depth, ddxy,
+                                   moments, history, phase)
+        if phase == 1:
+            # temporal blend with neighborhood clamp (finalize_shared.h:298-346)
+            prev_d = state.shading[..., :3]
+            prev_i = state.shading[..., 3:]
+            cd, ci = _neighborhood_clamp(None, d_f, i_f, prev_d, prev_i)
+            d_new = jnp.where(consistent[..., None],
+                              0.1 * d_new + 0.9 * cd, d_new)
+            i_new = jnp.where(consistent[..., None],
+                              0.1 * i_new + 0.9 * ci, i_new)
+        d_f, i_f = d_new, i_new
+
+    color = (d_f + i_f) * albedo
+    new_state = FilterState(
+        moments=moments,
+        shading=jnp.concatenate([d_f, i_f], -1),
+        world_pos=world_pos,
+        history=history,
+    )
+    return color, new_state
+
+
+# ---------------------------------------------------------------------------
+# TAA (finalize_shared.h:383-432, Marco Salvi variance clipping) + unsharpen
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class TAAState:
+    prev: jnp.ndarray   # [H,W,3] previous output (post-TAA)
+
+    @staticmethod
+    def make(h, w):
+        return TAAState(prev=jnp.zeros((h, w, 3), jnp.float32))
+
+
+def taa(color, state: TAAState, blend=0.9):
+    """Variance-clipped temporal AA (static camera)."""
+    s = _rgb_to_ycocg(color)
+    s2 = s * s
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = _rgb_to_ycocg(_shift(color, dy, dx))
+            s = s + n
+            s2 = s2 + n * n
+    mu = s / 9.0
+    sig = jnp.sqrt(jnp.maximum(s2 / 9.0 - mu * mu, 0.0))
+    lo = mu - 1.0 * sig
+    hi = mu + 1.0 * sig
+    prev = jnp.clip(_rgb_to_ycocg(state.prev), lo, hi)
+    out = _ycocg_to_rgb((1.0 - blend) * _rgb_to_ycocg(color) + blend * prev)
+    return out, TAAState(prev=out)
+
+
+def unsharpen(color, amount=0.3):
+    """unsharpenTAA (finalize_shared.h:438-466): 3x3 unsharp mask."""
+    blur = color * 0.25
+    for dy, dx, w in ((0, 1, 0.125), (0, -1, 0.125), (1, 0, 0.125),
+                      (-1, 0, 0.125), (1, 1, 0.0625), (1, -1, 0.0625),
+                      (-1, 1, 0.0625), (-1, -1, 0.0625)):
+        blur = blur + _shift(color, dy, dx) * w
+    return jnp.maximum(color + (color - blur) * amount, 0.0)

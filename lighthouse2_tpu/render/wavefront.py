@@ -166,7 +166,7 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig):
         t, prim, u, v = intersect_bruteforce(o, d, tris.v0, tris.e1, tris.e2,
                                              chunk=config.tri_chunk)
     # differentiable refinement: recompute (t,u,v) from the winning triangle
-    rt, ru, rv, ok = refine_hit(o, d, prim, tris.v0, tris.e1, tris.e2)
+    rt, ru, rv, ok = refine_hit(o, d, prim, tris.tri9)
     t = jnp.where(prim >= 0, rt, t)
     u = jnp.where(prim >= 0, ru, u)
     v = jnp.where(prim >= 0, rv, v)
@@ -195,7 +195,17 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
 
     paths = generate_eye_rays(view, config, sample_base, path_idx)
     n = paths["path_idx"].shape[0]
-    acc = jnp.zeros((wh, 4), jnp.float32)
+    # per-path radiance accumulation; reduced to pixels ONCE at the end
+    # (scatter-adds inside the bounce loop serialize on TPU)
+    acc = jnp.zeros((n, 4), jnp.float32)
+    if config.filter_enabled:
+        # SVGF G-buffers (RenderCore_Optix7Filter features; SURVEY §2.2):
+        # indirect accumulator + primary-hit albedo/normal/depth/worldpos
+        paths["acc_ind"] = jnp.zeros((n, 3), jnp.float32)
+        paths["g_albedo"] = jnp.ones((n, 3), jnp.float32)
+        paths["g_normal"] = jnp.zeros((n, 3), jnp.float32)
+        paths["g_depth"] = jnp.zeros((n,), jnp.float32)
+        paths["g_wpos"] = jnp.full((n, 3), 1e30, jnp.float32)
 
     stats0 = dict(
         extension_rays=jnp.zeros((config.max_path_length,), jnp.int32),
@@ -204,152 +214,223 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
 
     def bounce(carry, li):
         paths, acc, cam_seed, stats = carry
-        path_length = li + 1                       # reference is 1-based
-        is_primary = li == 0
-        o, d = paths["origin"], paths["dir"]
-        alive = paths["alive"]
-        throughput = paths["throughput"]
-        bsdf_pdf = paths["bsdf_pdf"]
-        pixel = paths["pixel"]
-
         stats = dict(stats,
                      extension_rays=stats["extension_rays"].at[li].set(
-                         jnp.sum(alive.astype(jnp.int32))))
-
-        # ---- trace (extend) ------------------------------------------------
-        t, prim, u, v = _intersect(scene, o, d, config)
-        prim = jnp.where(alive, prim, -1)
-
-        # primary depth into accumulator .w (pathtracer.h:81)
-        depth = jnp.where(prim >= 0, t, 10000.0)
-        acc = jax.lax.cond(
-            is_primary,
-            lambda a: a.at[pixel, 3].add(jnp.where(alive, depth, 0.0)),
-            lambda a: a, acc)
-
-        # ---- shade: sky on miss (pathtracer.h:84-91) -----------------------
-        miss = alive & (prim < 0)
-        sky_c = _masked_div(paths["throughput"] * sample_skydome(scene.sky, d),
-                            bsdf_pdf, miss)
-        sky_c = _fixnan(_clamp_intensity(sky_c, config.clamp_value)
-                        if config.clamp_fireflies else sky_c)
-        acc = acc.at[pixel].add(
-            jnp.where(miss[:, None], jnp.concatenate(
-                [sky_c, jnp.zeros((n, 1))], -1), 0.0))
-
-        hit = alive & (prim >= 0)
-        i_pos = o + t[:, None] * d
-        sd = get_shading_data(scene, d, t, prim, u, v, view.spread_angle,
-                              consistent_normals=config.consistent_normals)
-
-        # ---- implicit light hit (pathtracer.h:124-149) ---------------------
-        ddotnl = -dot(d, sd.n_geom)
-        lit = hit & sd.emissive & (ddotnl > 0)
-        l_pdf = calculate_light_pdf(d, t, sd.area, sd.n_geom)
-        pick_p = light_pick_prob(scene.lights, sd.ltri, o, paths["last_n"], i_pos)
-        denom_mis = bsdf_pdf + l_pdf * pick_p
-        c_mis = _masked_div(throughput * sd.color, denom_mis,
-                            lit & (denom_mis > 0))
-        c_spec = _masked_div(throughput * sd.color, bsdf_pdf, lit)
-        c_light = jnp.where(paths["prev_specular"][:, None], c_spec, c_mis)
-        if config.clamp_fireflies:
-            c_light = _clamp_intensity(c_light, config.clamp_value)
-        c_light = _fixnan(c_light)
-        acc = acc.at[pixel].add(
-            jnp.where(lit[:, None],
-                      jnp.concatenate([c_light, jnp.zeros((n, 1))], -1), 0.0))
-
-        active = hit & ~sd.emissive
-
-        # ---- prep (pathtracer.h:152-163) -----------------------------------
-        cur_spec = bsdf_mod.is_specular_material(sd)
-        cam_seed, r0_frame = rng_mod.frame_r0(cam_seed, path_length)
-        seed = rng_mod.path_seed(paths["path_idx"], r0_frame)
-        face_dir = sd.face_dir
-        sd = sd.replace(absorption=jnp.where(
-            (face_dir == 1.0)[:, None], 0.0, sd.absorption))
-        throughput = _masked_div(throughput, bsdf_pdf, active)
-        fn_flip = sd.n_shading * face_dir[:, None]
-
-        # ---- NEE (pathtracer.h:165-204) ------------------------------------
-        seed, r0 = rng_mod.random_float(seed)
-        seed, r1 = rng_mod.random_float(seed)
-        nee_mask = active & ~cur_spec
-        ls = random_point_on_light(scene.lights, r0, r1, i_pos, fn_flip)
-        l_vec = ls["point"] - i_pos
-        dist = jnp.sqrt(jnp.maximum(dot(l_vec, l_vec), 1e-20))
-        l_dir = l_vec / dist[:, None]
-        n_dot_l = dot(l_dir, fn_flip)
-        e_bsdf, e_pdf = bsdf_mod.evaluate(sd, sd.n_shading, -d, l_dir)
-        if config.bsdf == "lambert":
-            # BSDF_HAS_PURE_SPECULARS scale (lambert.h:19-30)
-            e_bsdf = e_bsdf * sd.roughness[:, None]
-        conn_ok = nee_mask & (n_dot_l > 0) & (ls["light_pdf"] > 0) & (e_pdf > 0)
-        denom = ls["pick_prob"] * ls["light_pdf"] + e_pdf
-        potential = (throughput * e_bsdf * ls["color"]
-                     * _masked_div(n_dot_l, denom, conn_ok)[:, None])
-        potential = _fixnan(potential)
-        if config.clamp_fireflies:
-            potential = _clamp_intensity(potential, config.clamp_value)
-        shadow_o = safe_origin(i_pos, l_dir, sd.n_geom * face_dir[:, None], geo_eps)
-        shadow_tmax = jnp.where(conn_ok, dist - 2.0 * geo_eps, 0.0)
-        occ = _occluded(scene, shadow_o, l_dir, shadow_tmax, config)
-        lit_conn = conn_ok & ~occ
-        acc = acc.at[pixel].add(
-            jnp.where(lit_conn[:, None],
-                      jnp.concatenate([potential, jnp.zeros((n, 1))], -1), 0.0))
+                         jnp.sum(paths["alive"].astype(jnp.int32))))
+        t, prim, u, v = _intersect(scene, paths["origin"], paths["dir"], config)
+        paths, acc, cam_seed, shadow = shade_bounce(
+            scene, view, config, paths, acc, cam_seed, li, t, prim, u, v)
+        occ = _occluded(scene, shadow["o"], shadow["d"], shadow["tmax"], config)
+        acc, paths = apply_shadow(config, paths, acc, shadow, occ)
         stats = dict(stats, shadow_rays=stats["shadow_rays"].at[li].set(
-            jnp.sum(conn_ok.astype(jnp.int32))))
-
-        # ---- bounce (pathtracer.h:207-239) ---------------------------------
-        may_extend = active & (paths["n_diffuse"] < config.max_diffuse_bounces) \
-            & (path_length < config.max_path_length)
-        seed, r3 = rng_mod.random_float(seed)
-        seed, r4 = rng_mod.random_float(seed)
-        smp = bsdf_mod.sample(sd, sd.n_shading, sd.n_geom, -d, t, r3, r4)
-        ok_pdf = (smp["pdf"] >= EPSILON) & jnp.isfinite(smp["pdf"])
-        new_spec = smp["specular"]
-
-        # russian roulette (pathtracer.h:229-230)
-        seed, r5 = rng_mod.random_float(seed)
-        bounced = paths["n_diffuse"] > 0
-        surv = jnp.minimum(1.0, jnp.max(smp["bsdf"], axis=-1))
-        p_surv = jnp.where(new_spec | ~bounced, 1.0, surv)
-        if not config.russian_roulette:
-            p_surv = jnp.ones_like(p_surv)
-        rr_ok = r5 <= p_surv
-
-        extend = may_extend & ok_pdf & rr_ok
-        new_throughput = (_masked_div(throughput, p_surv, extend)
-                          * smp["bsdf"] * jnp.abs(dot(sd.n_shading, smp["wi"]))[:, None])
-        new_throughput = _fixnan(new_throughput)
-        new_o = safe_origin(i_pos, smp["wi"], sd.n_geom * face_dir[:, None], geo_eps)
-
-        paths = dict(
-            path_idx=paths["path_idx"],
-            origin=jnp.where(extend[:, None], new_o, o),
-            dir=jnp.where(extend[:, None], smp["wi"], d),
-            throughput=jnp.where(extend[:, None], new_throughput, throughput),
-            bsdf_pdf=jnp.where(extend, smp["pdf"], jnp.ones_like(bsdf_pdf)),
-            last_n=jnp.where(extend[:, None], fn_flip, paths["last_n"]),
-            prev_specular=jnp.where(extend, new_spec, paths["prev_specular"]),
-            n_diffuse=paths["n_diffuse"] + (extend & ~new_spec).astype(jnp.int32),
-            alive=extend,
-            pixel=pixel,
-        )
+            jnp.sum(shadow["conn_ok"].astype(jnp.int32))))
         return (paths, acc, cam_seed, stats), None
 
     (paths, acc, cam_seed, stats), _ = jax.lax.scan(
         bounce, (paths, acc, cam_seed, stats0),
         jnp.arange(config.max_path_length))
+    return _finish_pass(config, paths, acc, stats, path_idx, cam_seed)
+
+
+def _finish_pass(config, paths, acc, stats, path_idx, cam_seed):
+    """Per-path → per-pixel reduction + stats totals (shared by the fused and
+    staged executors)."""
+    wh = config.width * config.height
+    if path_idx is None:
+        spp = config.spp_per_pass
+        if config.filter_enabled:
+            aux = dict(
+                indirect=paths["acc_ind"].reshape(spp, wh, 3).sum(0),
+                albedo=paths["g_albedo"].reshape(spp, wh, 3).mean(0),
+                normal=paths["g_normal"].reshape(spp, wh, 3).mean(0),
+                depth=paths["g_depth"].reshape(spp, wh).mean(0),
+                world_pos=paths["g_wpos"].reshape(spp, wh, 3).mean(0),
+            )
+        acc = acc.reshape(spp, wh, 4).sum(0)
+    else:
+        acc = jnp.zeros((wh, 4), jnp.float32).at[paths["pixel"]].add(acc)
 
     stats = dict(
         stats,
-        primary_rays=jnp.int32(n),
+        primary_rays=jnp.int32(paths["path_idx"].shape[0]),
         total_extension=jnp.sum(stats["extension_rays"]),
         total_shadow=jnp.sum(stats["shadow_rays"]),
     )
+    if config.filter_enabled and path_idx is None:
+        stats["filter_aux"] = aux
     return acc, cam_seed, stats
+
+
+def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
+                 t, prim, u, v):
+    """The shade stage for one bounce (pathtracer.h:54-240 minus the trace
+    and shadow-trace launches). Returns (paths', acc', cam_seed', shadow)
+    where `shadow` carries the NEE connection batch for the occlusion stage."""
+    if config.bsdf == "disney":
+        from lighthouse2_tpu.render import bsdf_disney as bsdf_mod
+    else:
+        bsdf_mod = bsdf_lambert
+    geo_eps = jnp.float32(config.geometry_epsilon)
+    path_length = li + 1                       # reference is 1-based
+    is_primary = li == 0
+    o, d = paths["origin"], paths["dir"]
+    alive = paths["alive"]
+    throughput = paths["throughput"]
+    bsdf_pdf = paths["bsdf_pdf"]
+    prim = jnp.where(alive, prim, -1)
+
+    # primary depth into accumulator .w (pathtracer.h:81)
+    depth = jnp.where(prim >= 0, t, 10000.0)
+    acc = acc.at[:, 3].add(
+        jnp.where(is_primary & alive, depth, 0.0))
+
+    # ---- shade: sky on miss (pathtracer.h:84-91) -----------------------
+    miss = alive & (prim < 0)
+    sky_c = _masked_div(paths["throughput"] * sample_skydome(scene.sky, d),
+                        bsdf_pdf, miss)
+    sky_c = _fixnan(_clamp_intensity(sky_c, config.clamp_value)
+                    if config.clamp_fireflies else sky_c)
+
+    def add_contrib(acc, paths, contrib, mask):
+        """Route to direct (acc) or indirect (filter G-buffer) stream."""
+        if config.filter_enabled:
+            to_dir = paths["n_diffuse"] == 0
+            acc = acc.at[:, :3].add(
+                jnp.where((mask & to_dir)[:, None], contrib, 0.0))
+            paths = dict(paths, acc_ind=paths["acc_ind"] + jnp.where(
+                (mask & ~to_dir)[:, None], contrib, 0.0))
+        else:
+            acc = acc.at[:, :3].add(jnp.where(mask[:, None], contrib, 0.0))
+        return acc, paths
+
+    acc, paths = add_contrib(acc, paths, sky_c, miss)
+
+    hit = alive & (prim >= 0)
+    i_pos = o + t[:, None] * d
+    sd = get_shading_data(scene, d, t, prim, u, v, view.spread_angle,
+                          consistent_normals=config.consistent_normals)
+
+    # ---- implicit light hit (pathtracer.h:124-149) ---------------------
+    ddotnl = -dot(d, sd.n_geom)
+    lit = hit & sd.emissive & (ddotnl > 0)
+    l_pdf = calculate_light_pdf(d, t, sd.area, sd.n_geom)
+    pick_p = light_pick_prob(scene.lights, sd.ltri, o, paths["last_n"], i_pos)
+    denom_mis = bsdf_pdf + l_pdf * pick_p
+    c_mis = _masked_div(throughput * sd.color, denom_mis,
+                        lit & (denom_mis > 0))
+    c_spec = _masked_div(throughput * sd.color, bsdf_pdf, lit)
+    c_light = jnp.where(paths["prev_specular"][:, None], c_spec, c_mis)
+    if config.clamp_fireflies:
+        c_light = _clamp_intensity(c_light, config.clamp_value)
+    c_light = _fixnan(c_light)
+    acc, paths = add_contrib(acc, paths, c_light, lit)
+
+    if config.filter_enabled:
+        # primary-hit features (filter core writes these at the first
+        # vertex; kernels/pathtracer.h:98-122 in RenderCore_Optix7Filter)
+        cap = is_primary & hit
+        paths = dict(
+            paths,
+            g_albedo=jnp.where(cap[:, None], sd.color, paths["g_albedo"]),
+            g_normal=jnp.where(cap[:, None],
+                               sd.n_shading * sd.face_dir[:, None],
+                               paths["g_normal"]),
+            g_depth=jnp.where(cap, t, paths["g_depth"]),
+            g_wpos=jnp.where(cap[:, None], i_pos, paths["g_wpos"]),
+        )
+
+    active = hit & ~sd.emissive
+
+    # ---- prep (pathtracer.h:152-163) -----------------------------------
+    cur_spec = bsdf_mod.is_specular_material(sd)
+    cam_seed, r0_frame = rng_mod.frame_r0(cam_seed, path_length)
+    seed = rng_mod.path_seed(paths["path_idx"], r0_frame)
+    face_dir = sd.face_dir
+    sd = sd.replace(absorption=jnp.where(
+        (face_dir == 1.0)[:, None], 0.0, sd.absorption))
+    throughput = _masked_div(throughput, bsdf_pdf, active)
+    fn_flip = sd.n_shading * face_dir[:, None]
+
+    # ---- NEE (pathtracer.h:165-204) ------------------------------------
+    seed, r0 = rng_mod.random_float(seed)
+    seed, r1 = rng_mod.random_float(seed)
+    nee_mask = active & ~cur_spec
+    ls = random_point_on_light(scene.lights, r0, r1, i_pos, fn_flip)
+    l_vec = ls["point"] - i_pos
+    dist = jnp.sqrt(jnp.maximum(dot(l_vec, l_vec), 1e-20))
+    l_dir = l_vec / dist[:, None]
+    n_dot_l = dot(l_dir, fn_flip)
+    e_bsdf, e_pdf = bsdf_mod.evaluate(sd, sd.n_shading, -d, l_dir)
+    if config.bsdf == "lambert":
+        # BSDF_HAS_PURE_SPECULARS scale (lambert.h:19-30)
+        e_bsdf = e_bsdf * sd.roughness[:, None]
+    conn_ok = nee_mask & (n_dot_l > 0) & (ls["light_pdf"] > 0) & (e_pdf > 0)
+    denom = ls["pick_prob"] * ls["light_pdf"] + e_pdf
+    potential = (throughput * e_bsdf * ls["color"]
+                 * _masked_div(n_dot_l, denom, conn_ok)[:, None])
+    potential = _fixnan(potential)
+    if config.clamp_fireflies:
+        potential = _clamp_intensity(potential, config.clamp_value)
+    shadow_o = safe_origin(i_pos, l_dir, sd.n_geom * face_dir[:, None], geo_eps)
+    shadow_tmax = jnp.where(conn_ok, dist - 2.0 * geo_eps, 0.0)
+    # the occlusion trace + contribution happen OUTSIDE this stage
+    # (reference traces shadow batches separately; rendercore.cpp:741-748)
+    shadow = dict(o=shadow_o, d=l_dir, tmax=shadow_tmax,
+                  potential=potential, conn_ok=conn_ok,
+                  to_direct=paths["n_diffuse"] == 0)
+
+    # ---- bounce (pathtracer.h:207-239) ---------------------------------
+    may_extend = active & (paths["n_diffuse"] < config.max_diffuse_bounces) \
+        & (path_length < config.max_path_length)
+    seed, r3 = rng_mod.random_float(seed)
+    seed, r4 = rng_mod.random_float(seed)
+    smp = bsdf_mod.sample(sd, sd.n_shading, sd.n_geom, -d, t, r3, r4)
+    ok_pdf = (smp["pdf"] >= EPSILON) & jnp.isfinite(smp["pdf"])
+    new_spec = smp["specular"]
+
+    # russian roulette (pathtracer.h:229-230)
+    seed, r5 = rng_mod.random_float(seed)
+    bounced = paths["n_diffuse"] > 0
+    surv = jnp.minimum(1.0, jnp.max(smp["bsdf"], axis=-1))
+    p_surv = jnp.where(new_spec | ~bounced, 1.0, surv)
+    if not config.russian_roulette:
+        p_surv = jnp.ones_like(p_surv)
+    rr_ok = r5 <= p_surv
+
+    extend = may_extend & ok_pdf & rr_ok
+    new_throughput = (_masked_div(throughput, p_surv, extend)
+                      * smp["bsdf"] * jnp.abs(dot(sd.n_shading, smp["wi"]))[:, None])
+    new_throughput = _fixnan(new_throughput)
+    new_o = safe_origin(i_pos, smp["wi"], sd.n_geom * face_dir[:, None], geo_eps)
+
+    paths = dict(
+        paths,
+        origin=jnp.where(extend[:, None], new_o, o),
+        dir=jnp.where(extend[:, None], smp["wi"], d),
+        throughput=jnp.where(extend[:, None], new_throughput, throughput),
+        bsdf_pdf=jnp.where(extend, smp["pdf"], jnp.ones_like(bsdf_pdf)),
+        last_n=jnp.where(extend[:, None], fn_flip, paths["last_n"]),
+        prev_specular=jnp.where(extend, new_spec, paths["prev_specular"]),
+        n_diffuse=paths["n_diffuse"] + (extend & ~new_spec).astype(jnp.int32),
+        alive=extend,
+    )
+    return paths, acc, cam_seed, shadow
+
+
+def apply_shadow(config: RenderConfig, paths, acc, shadow, occ):
+    """Fold unoccluded NEE contributions into the accumulator
+    (finalizeConnections analog, kernels/connections.h)."""
+    lit_conn = shadow["conn_ok"] & ~occ
+    if config.filter_enabled:
+        to_dir = shadow["to_direct"]
+        acc = acc.at[:, :3].add(jnp.where(
+            (lit_conn & to_dir)[:, None], shadow["potential"], 0.0))
+        paths = dict(paths, acc_ind=paths["acc_ind"] + jnp.where(
+            (lit_conn & ~to_dir)[:, None], shadow["potential"], 0.0))
+    else:
+        acc = acc.at[:, :3].add(
+            jnp.where(lit_conn[:, None], shadow["potential"], 0.0))
+    return acc, paths
 
 
 def render_pass(scene: DeviceScene, view: ViewPyramid, state: AccumState,
@@ -369,6 +450,100 @@ def render_pass(scene: DeviceScene, view: ViewPyramid, state: AccumState,
 @functools.partial(jax.jit, static_argnames=("config",))
 def render_pass_jit(scene, view, state, config):
     return render_pass(scene, view, state, config)
+
+
+# ---------------------------------------------------------------------------
+# Staged executor — per-stage jits with a host bounce loop.
+#
+# On the axon TPU runtime, large fused programs (the full bounce scan)
+# degrade to one host round-trip per control-flow iteration (~25 ms each),
+# while small programs run entirely on device. So the TPU path mirrors the
+# reference's architecture literally: one launch per stage per bounce
+# (rendercore.cpp:692-748), with the host loop driving device-resident state.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_generate(view, sample_base, config):
+    return generate_eye_rays(view, config, sample_base)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_trace(scene, o, d, config):
+    return _intersect(scene, o, d, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("paths", "acc"))
+def _stage_shade(scene, view, paths, acc, cam_seed, li, t, prim, u, v, config):
+    n_alive = jnp.sum(paths["alive"].astype(jnp.int32))
+    paths, acc, cam_seed, shadow = shade_bounce(
+        scene, view, config, paths, acc, cam_seed, li, t, prim, u, v)
+    n_conn = jnp.sum(shadow["conn_ok"].astype(jnp.int32))
+    return paths, acc, cam_seed, shadow, n_alive, n_conn
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_occlude(scene, o, d, tmax, config):
+    return _occluded(scene, o, d, tmax, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("paths", "acc"))
+def _stage_apply(paths, acc, shadow, occ, config):
+    acc, paths = apply_shadow(config, paths, acc, shadow, occ)
+    return paths, acc
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_finish(paths, acc, ext_counts, conn_counts, cam_seed, config):
+    stats = dict(extension_rays=jnp.stack(ext_counts),
+                 shadow_rays=jnp.stack(conn_counts))
+    return _finish_pass(config, paths, acc, stats, None, cam_seed)
+
+
+def render_pass_staged(scene: DeviceScene, view: ViewPyramid,
+                       state: AccumState, config: RenderConfig):
+    """Same result as render_pass, executed as per-stage launches. All state
+    stays on device; NO readbacks happen here (they would degrade the axon
+    session — see bench.py note)."""
+    n = config.n_paths
+    paths = _stage_generate(view, state.sample_count, config)
+    acc = jnp.zeros((n, 4), jnp.float32)
+    if config.filter_enabled:
+        paths["acc_ind"] = jnp.zeros((n, 3), jnp.float32)
+        paths["g_albedo"] = jnp.ones((n, 3), jnp.float32)
+        paths["g_normal"] = jnp.zeros((n, 3), jnp.float32)
+        paths["g_depth"] = jnp.zeros((n,), jnp.float32)
+        paths["g_wpos"] = jnp.full((n, 3), 1e30, jnp.float32)
+    cam_seed = state.cam_seed
+    ext_counts = []
+    conn_counts = []
+    for li in range(config.max_path_length):
+        t, prim, u, v = _stage_trace(scene, paths["origin"], paths["dir"],
+                                     config)
+        paths, acc, cam_seed, shadow, n_alive, n_conn = _stage_shade(
+            scene, view, paths, acc, cam_seed, jnp.int32(li), t, prim, u, v,
+            config)
+        occ = _stage_occlude(scene, shadow["o"], shadow["d"], shadow["tmax"],
+                             config)
+        paths, acc = _stage_apply(paths, acc, shadow, occ, config)
+        ext_counts.append(n_alive)
+        conn_counts.append(n_conn)
+    acc_px, cam_seed, stats = _stage_finish(paths, acc, ext_counts,
+                                            conn_counts, cam_seed, config)
+    new_state = AccumState(
+        accumulator=state.accumulator + acc_px,
+        sample_count=state.sample_count + config.spp_per_pass,
+        cam_seed=cam_seed,
+    )
+    return new_state, stats
+
+
+def render_pass_auto(scene, view, state, config):
+    """Pick the fused (CPU / virtual-device) or staged (axon TPU) executor."""
+    if jax.default_backend() in ("cpu",):
+        return render_pass_jit(scene, view, state, config)
+    return render_pass_staged(scene, view, state, config)
 
 
 def finalize(state: AccumState):

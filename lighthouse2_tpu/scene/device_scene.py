@@ -36,6 +36,7 @@ class DeviceTriangles:
     area: jnp.ndarray    # [T]
     inv_area: jnp.ndarray  # [T]
     lod: jnp.ndarray     # [T] texture LOD base
+    tri9: jnp.ndarray    # [9,T] v0/e1/e2 component-major (TPU gather layout)
 
     @property
     def count(self):

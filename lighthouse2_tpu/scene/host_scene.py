@@ -241,7 +241,10 @@ class HostScene:
             - (world["uv1"] - world["uv0"])[:, 1] * (world["uv2"] - world["uv0"])[:, 0])
         lod = np.where(uva > 0, 0.5 * np.log2(np.maximum(uva, 1e-20) * inv_area), 0.0)
 
+        tri9 = np.concatenate(
+            [world["v0"].T, e1.T, e2.T], 0).astype(np.float32)
         tris = DeviceTriangles(
+            tri9=jnp.asarray(tri9),
             v0=jnp.asarray(world["v0"]), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
             n0=jnp.asarray(world["n0"]), n1=jnp.asarray(world["n1"]),
             n2=jnp.asarray(world["n2"]), face_n=jnp.asarray(world["face_n"]),

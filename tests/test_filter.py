@@ -1,0 +1,123 @@
+"""SVGF + TAA filter tests: denoising actually reduces noise, preserves
+edges, temporal accumulation converges; filtered core end-to-end."""
+import numpy as np
+import jax.numpy as jnp
+
+from lighthouse2_tpu.render.filter import (
+    FilterState, TAAState, svgf_filter, taa, unsharpen,
+)
+
+
+def make_flat_scene(h, w, noise, seed=0):
+    """Flat lit plane: constant signal + MC noise, uniform G-buffers."""
+    rng = np.random.RandomState(seed)
+    direct = jnp.asarray(
+        (0.5 + noise * rng.randn(h, w, 3)).clip(0, None).astype(np.float32))
+    indirect = jnp.asarray(
+        (0.2 + noise * rng.randn(h, w, 3)).clip(0, None).astype(np.float32))
+    albedo = jnp.full((h, w, 3), 0.7, jnp.float32)
+    normal = jnp.tile(jnp.array([0.0, 1.0, 0.0]), (h, w, 1))
+    depth = jnp.full((h, w), 5.0, jnp.float32)
+    xy = np.stack(np.meshgrid(np.arange(w), np.arange(h)), -1)
+    wp = np.concatenate([xy, np.zeros((h, w, 1))], -1).astype(np.float32) * 0.01
+    return direct, indirect, albedo, normal, depth, jnp.asarray(wp)
+
+
+def test_svgf_reduces_variance():
+    h = w = 64
+    d, i, a, n, dep, wp = make_flat_scene(h, w, noise=0.2)
+    color, st = svgf_filter(d, i, a, n, dep, wp, FilterState.make(h, w))
+    color = np.asarray(color)
+    # demodulate/remodulate round-trips albedo: output ≈ direct + indirect
+    raw = np.asarray(d + i)
+    inner = (slice(8, -8), slice(8, -8))
+    assert color[inner].std() < 0.3 * raw[inner].std()
+    # mean preserved
+    np.testing.assert_allclose(color[inner].mean(), raw[inner].mean(), rtol=0.1)
+
+
+def test_svgf_preserves_edges():
+    h = w = 64
+    d, i, a, n, dep, wp = make_flat_scene(h, w, noise=0.05)
+    # two materials: right half different normal+depth+albedo → edge kept
+    half = np.zeros((h, w, 3), np.float32)
+    half[:, w // 2:] = 1.0
+    d = jnp.asarray(np.where(half > 0, 1.0, 0.1).astype(np.float32))
+    n2 = np.asarray(n).copy()
+    n2[:, w // 2:] = [1.0, 0.0, 0.0]
+    dep2 = np.asarray(dep).copy()
+    dep2[:, w // 2:] = 9.0
+    wp2 = np.asarray(wp).copy()
+    wp2[:, w // 2:, 2] += 100.0
+    color, _ = svgf_filter(d, i, a, jnp.asarray(n2), jnp.asarray(dep2),
+                           jnp.asarray(wp2), FilterState.make(h, w))
+    color = np.asarray(color)
+    left = color[32, w // 2 - 4, 0]
+    right = color[32, w // 2 + 4, 0]
+    assert right > 3 * left          # step survives filtering
+
+
+def test_svgf_temporal_accumulation():
+    h = w = 32
+    st = FilterState.make(h, w)
+    outs = []
+    for f in range(6):
+        d, i, a, n, dep, wp = make_flat_scene(h, w, noise=0.25, seed=f)
+        color, st = svgf_filter(d, i, a, n, dep, wp, st)
+        outs.append(np.asarray(color))
+    # later frames are closer to the noise-free value than frame 0
+    target = 0.7  # direct 0.5 + indirect 0.2 (albedo round-trips)
+    e0 = np.abs(outs[0] - target).mean()
+    e5 = np.abs(outs[5] - target).mean()
+    assert e5 < e0
+    assert int(np.asarray(st.history).min()) >= 5
+
+
+def test_svgf_history_reset_on_disocclusion():
+    h = w = 16
+    st = FilterState.make(h, w)
+    d, i, a, n, dep, wp = make_flat_scene(h, w, noise=0.1)
+    _, st = svgf_filter(d, i, a, n, dep, wp, st)   # cold start: history 0
+    _, st = svgf_filter(d, i, a, n, dep, wp, st)   # now consistent
+    assert int(np.asarray(st.history).max()) >= 1
+    # move the surface far away → world-pos consistency fails → reset
+    _, st2 = svgf_filter(d, i, a, n, dep, wp + 100.0, st)
+    assert int(np.asarray(st2.history).max()) == 0
+
+
+def test_taa_and_unsharpen():
+    h = w = 32
+    rng = np.random.RandomState(1)
+    st = TAAState.make(h, w)
+    img = jnp.asarray((0.5 + 0.1 * rng.randn(h, w, 3)).astype(np.float32))
+    out, st = taa(img, st)
+    assert np.isfinite(np.asarray(out)).all()
+    out2, st = taa(img, st)
+    sharp = unsharpen(out2)
+    assert np.asarray(sharp).min() >= 0
+
+
+def test_filtered_core_end_to_end():
+    from lighthouse2_tpu.api import RenderAPI
+    from lighthouse2_tpu.core.types import RenderConfig
+    from lighthouse2_tpu.scene.presets import cornell_box
+    api = RenderAPI.create("wavefront_filter", RenderConfig(
+        width=32, height=32, spp_per_pass=1, max_path_length=3,
+        use_bvh=False, taa_enabled=True))
+    scene, cam = cornell_box(32, 32)
+    api.scene, api.camera = scene, cam
+    for _ in range(3):
+        api.render()
+    img = api.get_image()
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    # filtered 1-spp frame should be much smoother than a raw 1-spp frame
+    api2 = RenderAPI.create("wavefront", RenderConfig(
+        width=32, height=32, spp_per_pass=1, max_path_length=3, use_bvh=False))
+    api2.scene, api2.camera = scene, cam
+    api2.render()
+    raw = api2.get_image()
+    v_f = np.var(np.diff(img, axis=0))
+    v_r = np.var(np.diff(raw, axis=0))
+    assert v_f < v_r
