@@ -23,6 +23,8 @@ traversal like bvh.cpp:258-302 then prefers low node ids):
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 _INF = np.float32(np.inf)
@@ -33,8 +35,23 @@ def _half_area(bmin, bmax):
     return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] + e[..., 2] * e[..., 0]
 
 
-def build_sah_bvh(v0, v1, v2, max_leaf=4, bins=8):
-    """Build a BVH2 over triangles (v0,v1,v2 [T,3]); returns flat arrays dict."""
+def build_sah_bvh(v0, v1, v2, max_leaf=4, bins=8, prefer_native=True):
+    """Build a BVH2 over triangles (v0,v1,v2 [T,3]); returns flat arrays dict.
+
+    Uses the native C++ builder (lighthouse2_tpu/native/bvh_builder.cpp) when
+    a toolchain is available — same algorithm and flattened layout, ~20x
+    faster single-threaded; falls back to the vectorized numpy builder."""
+    if prefer_native and not os.environ.get("LH2_NO_NATIVE"):
+        from lighthouse2_tpu import native
+        res = native.build_sah_bvh_native(v0, v1, v2, max_leaf=max_leaf,
+                                          bins=bins)
+        if res is not None:
+            return res
+    return build_sah_bvh_numpy(v0, v1, v2, max_leaf=max_leaf, bins=bins)
+
+
+def build_sah_bvh_numpy(v0, v1, v2, max_leaf=4, bins=8):
+    """Pure-numpy level-synchronous builder (see module docstring)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)

@@ -281,6 +281,10 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
 
     # primary depth into accumulator .w (pathtracer.h:81)
     depth = jnp.where(prim >= 0, t, 10000.0)
+    # dead/miss lanes carry t = BIG_T; 1e30 squared overflows f32 to inf in
+    # the NEE distance math, and inf primals turn masked-zero cotangents into
+    # NaN vertex gradients (0 * inf). Sanitize t before any position math.
+    t = jnp.where(prim >= 0, t, 1.0)
     acc = acc.at[:, 3].add(
         jnp.where(is_primary & alive, depth, 0.0))
 
