@@ -10,6 +10,13 @@ The navmesh this produces is heightfield-based: a 2D walkable mask plus a
 floor-height map, partitioned into connected regions. Navigation quality is
 equivalent for query purposes (find_path / find_nearest / raycast), without
 the contour/polygonization machinery Detour needs for its BVH'd poly lookup.
+
+Known limitation (documented deviation from recast): the heightfield keeps a
+SINGLE span per column — the highest walkable surface. Scenes with walkable
+overlaps (bridges over walkable ground, multi-storey interiors) resolve each
+column to the topmost floor only; ground beneath a walkable overhang is not
+navigable. recast's multi-span heightfield supports these; add spans here if
+such scenes ever matter.
 """
 from __future__ import annotations
 
@@ -137,13 +144,89 @@ class NavMeshBuilder:
             region=region, n_regions=n_regions)
         return self.navmesh
 
+    def _raster_footprint(self, v, lo, nx, nz):
+        """Conservative xz coverage of one triangle: returns (slices, inside
+        mask, ylo, yhi arrays over the covered sub-grid) or None.
+
+        Non-degenerate xz projections use barycentric tests padded by the
+        true world-to-barycentric gradient magnitudes (|grad w0| =
+        hypot(bz-cz, cx-bx)/|den| etc.) so thin/elongated triangles still
+        cover every cell-center they touch. Vertical triangles (degenerate
+        xz projection) are rasterized over their edge segments so walls
+        modeled as vertical quads obstruct (recast voxelizes all triangles
+        into blocking spans)."""
+        cs = self.config.cell_size
+        x0 = int(np.floor((v[:, 0].min() - lo[0]) / cs))
+        x1 = int(np.floor((v[:, 0].max() - lo[0]) / cs))
+        z0 = int(np.floor((v[:, 2].min() - lo[2]) / cs))
+        z1 = int(np.floor((v[:, 2].max() - lo[2]) / cs))
+        x0, x1 = max(0, x0), min(nx - 1, x1)
+        z0, z1 = max(0, z0), min(nz - 1, z1)
+        if x1 < x0 or z1 < z0:
+            return None
+        gx = lo[0] + (np.arange(x0, x1 + 1) + 0.5) * cs
+        gz = lo[2] + (np.arange(z0, z1 + 1) + 0.5) * cs
+        px, pz = np.meshgrid(gx, gz, indexing="ij")
+        sl = (slice(x0, x1 + 1), slice(z0, z1 + 1))
+
+        ax, az = v[0, 0], v[0, 2]
+        bx, bz = v[1, 0], v[1, 2]
+        cx, cz = v[2, 0], v[2, 2]
+        den = (bz - cz) * (ax - cx) + (cx - bx) * (az - cz)
+        y_min, y_max = v[:, 1].min(), v[:, 1].max()
+
+        if abs(den) < 1e-9:
+            # vertical / degenerate projection: cover all cells whose center
+            # is within half a cell diagonal of any edge segment in xz
+            inside = np.zeros(px.shape, bool)
+            for (p, q) in ((v[0], v[1]), (v[1], v[2]), (v[2], v[0])):
+                ex, ez = q[0] - p[0], q[2] - p[2]
+                ll = ex * ex + ez * ez
+                if ll < 1e-18:
+                    tpar = np.zeros_like(px)
+                else:
+                    tpar = np.clip(((px - p[0]) * ex + (pz - p[2]) * ez) / ll,
+                                   0.0, 1.0)
+                dx = px - (p[0] + tpar * ex)
+                dz = pz - (p[2] + tpar * ez)
+                inside |= (dx * dx + dz * dz) <= (0.71 * cs) ** 2
+            if not inside.any():
+                return None
+            ylo = np.where(inside, y_min, np.inf)
+            yhi = np.where(inside, y_max, -np.inf)
+            return sl, inside, ylo, yhi
+
+        # barycentric gradients in the xz plane (units 1/length)
+        g0 = np.hypot(bz - cz, cx - bx) / abs(den)
+        g1 = np.hypot(cz - az, ax - cx) / abs(den)
+        g2 = np.hypot(az - bz, bx - ax) / abs(den)
+        w0 = ((bz - cz) * (px - cx) + (cx - bx) * (pz - cz)) / den
+        w1 = ((cz - az) * (px - cx) + (ax - cx) * (pz - cz)) / den
+        w2 = 1.0 - w0 - w1
+        r = 0.71 * cs
+        inside = (w0 >= -r * g0) & (w1 >= -r * g1) & (w2 >= -r * g2)
+        if not inside.any():
+            return None
+        y = w0 * v[0, 1] + w1 * v[1, 1] + w2 * v[2, 1]
+        # y variation across one cell from the plane's xz slope
+        gyx = v[0, 1] * (bz - cz) / den + v[1, 1] * (cz - az) / den \
+            + v[2, 1] * (az - bz) / den
+        gyz = v[0, 1] * (cx - bx) / den + v[1, 1] * (ax - cx) / den \
+            + v[2, 1] * (bx - ax) / den
+        dy = r * np.hypot(gyx, gyz)
+        ylo = np.where(inside, np.clip(y - dy, y_min, y_max), np.inf)
+        yhi = np.where(inside, np.clip(y + dy, y_min, y_max), -np.inf)
+        return sl, inside, ylo, yhi
+
     def _rasterize(self, tri, lo, nx, nz):
-        """Span rasterization: per cell, the highest walkable-slope surface
-        (floor) and the lowest steep/ceiling surface above it (clearance
-        limit). Vectorized per triangle over its covered cells."""
+        """Heightfield rasterization in two passes over all triangles:
+        pass 1 finds the floor (highest up-facing shallow-slope surface per
+        column, recast's walkable rule: norm.y >= cos(maxSlope)); pass 2
+        marks columns blocked where ANY triangle's span intrudes into the
+        agent's clearance volume (floor+maxClimb, floor+agentHeight)."""
         cfg = self.config
-        cs = cfg.cell_size
         cos_max = np.cos(np.radians(cfg.agent_max_slope))
+        ch = max(cfg.cell_height, 1e-6)
 
         e1 = tri[:, 1] - tri[:, 0]
         e2 = tri[:, 2] - tri[:, 0]
@@ -152,64 +235,44 @@ class NavMeshBuilder:
         ok = nlen > 1e-12
         n = n[ok] / nlen[ok, None]
         tri = tri[ok]
-        # walkable = up-facing AND shallow slope (recast marks only
-        # up-facing spans walkable); down-facing or steep = obstruction
+        # walkable = up-facing AND shallow slope; down-facing or steep
+        # triangles are pure obstructions (recast filterWalkableTriangles)
         walk_tri = n[:, 1] >= cos_max
 
         floor = np.full((nx, nz), np.nan)
-        ceil_above = np.full((nx, nz), np.inf)
-
-        # rasterize each triangle's footprint; loop is per-triangle but the
-        # inner work is a vectorized grid of barycentric tests
+        rasters = []
         for t in range(tri.shape[0]):
-            v = tri[t]
-            x0 = int(np.floor((v[:, 0].min() - lo[0]) / cs))
-            x1 = int(np.floor((v[:, 0].max() - lo[0]) / cs))
-            z0 = int(np.floor((v[:, 2].min() - lo[2]) / cs))
-            z1 = int(np.floor((v[:, 2].max() - lo[2]) / cs))
-            x0, x1 = max(0, x0), min(nx - 1, x1)
-            z0, z1 = max(0, z0), min(nz - 1, z1)
-            if x1 < x0 or z1 < z0:
+            fp = self._raster_footprint(tri[t], lo, nx, nz)
+            rasters.append(fp)
+            if fp is None or not walk_tri[t]:
                 continue
-            gx = lo[0] + (np.arange(x0, x1 + 1) + 0.5) * cs
-            gz = lo[2] + (np.arange(z0, z1 + 1) + 0.5) * cs
-            px, pz = np.meshgrid(gx, gz, indexing="ij")
-            # 2D barycentric in xz
-            ax, az = v[0, 0], v[0, 2]
-            bx, bz = v[1, 0], v[1, 2]
-            cx, cz = v[2, 0], v[2, 2]
-            den = (bz - cz) * (ax - cx) + (cx - bx) * (az - cz)
-            if abs(den) < 1e-12:
-                continue
-            w0 = ((bz - cz) * (px - cx) + (cx - bx) * (pz - cz)) / den
-            w1 = ((cz - az) * (px - cx) + (ax - cx) * (pz - cz)) / den
-            w2 = 1.0 - w0 - w1
-            pad = 0.71 * cs / max(abs(den) ** 0.5, 1e-6)  # conservative cover
-            inside = (w0 >= -pad) & (w1 >= -pad) & (w2 >= -pad)
-            if not inside.any():
-                continue
-            y = w0 * v[0, 1] + w1 * v[1, 1] + w2 * v[2, 1]
-            sl = (slice(x0, x1 + 1), slice(z0, z1 + 1))
-            if walk_tri[t]:
-                f = floor[sl]
-                upd = inside & (np.isnan(f) | (y > f))
-                floor[sl] = np.where(upd, y, f)
-            else:
-                # steep surface: it blocks; treat as an obstruction span from
-                # its own height — record as a ceiling that limits clearance
-                c = ceil_above[sl]
-                ceil_above[sl] = np.where(inside & (y < c), y, c)
-        return floor, ceil_above
+            sl, inside, ylo, yhi = fp
+            # surface height quantized UP to the cell_height grid
+            # (recast span smax quantization)
+            y = np.ceil(yhi / ch) * ch
+            f = floor[sl]
+            upd = inside & (np.isnan(f) | (y > f))
+            floor[sl] = np.where(upd, y, f)
 
-    def _filter_walkable(self, floor, ceil_above):
-        cfg = self.config
-        has_floor = ~np.isnan(floor)
-        # clearance: obstruction (steep surface) must not intrude within
-        # agent_height above the floor — but an obstruction below the floor
-        # top (e.g. the box's own walls under its top face) doesn't block it
-        clearance = ceil_above - floor
-        blocked = has_floor & (clearance > 0.05) & (clearance < cfg.agent_height)
-        return has_floor & ~blocked
+        blocked = np.zeros((nx, nz), bool)
+        climb = cfg.agent_max_climb
+        for t in range(tri.shape[0]):
+            fp = rasters[t]
+            if fp is None:
+                continue
+            sl, inside, ylo, yhi = fp
+            f = floor[sl]
+            b = inside & ~np.isnan(f) \
+                & (yhi > f + climb) & (ylo < f + cfg.agent_height)
+            if walk_tri[t]:
+                # a walkable surface that IS the floor (or a step within
+                # max-climb of it) does not block its own column
+                b &= ylo > f + climb
+            blocked[sl] |= b
+        return floor, blocked
+
+    def _filter_walkable(self, floor, blocked):
+        return ~np.isnan(floor) & ~blocked
 
     def _erode(self, walk):
         """Erode the walkable area by agent_radius (recast erodeWalkableArea

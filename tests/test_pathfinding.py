@@ -13,9 +13,10 @@ from lighthouse2_tpu.pathfinding.shader import _box_tris
 
 
 def _ground(size=10.0, y=0.0):
+    # wound so the face normal points +y (recast walkability is up-facing)
     s = size / 2
-    quad = np.array([[[-s, y, -s], [s, y, -s], [s, y, s]],
-                     [[-s, y, -s], [s, y, s], [-s, y, s]]], np.float32)
+    quad = np.array([[[-s, y, -s], [s, y, s], [s, y, -s]],
+                     [[-s, y, -s], [-s, y, s], [s, y, s]]], np.float32)
     return quad
 
 
@@ -46,6 +47,37 @@ def test_build_walkable(obstacle_navmesh):
     assert nm.is_walkable(*g) and abs(nm.floor[g]) < 0.2
     assert (not nm.is_walkable(*t)) or (
         nm.floor[t] > 2.0 and nm.region[t] != nm.region[g])
+
+
+def test_down_facing_floor_rejected():
+    """recast marks only up-facing triangles walkable; a floor wound so its
+    normal points -y builds zero walkable area."""
+    s = 5.0
+    down = np.array([[[-s, 0, -s], [s, 0, -s], [s, 0, s]],
+                     [[-s, 0, -s], [s, 0, s], [-s, 0, s]]], np.float32)
+    nm = NavMeshBuilder(NavMeshConfig(cell_size=0.2)).build(down)
+    assert nm.walkable.sum() == 0
+    assert nm.n_regions == 0
+
+
+def test_vertical_wall_obstructs():
+    """Thin walls modeled as vertical quads (degenerate xz projection) must
+    still block (recast voxelizes all triangles into blocking spans)."""
+    tris = [_ground(10.0)]
+    # zero-thickness vertical wall across the whole z range at x=0, 3 high
+    w = np.array([[[0, 0, -5], [0, 3, -5], [0, 3, 5]],
+                  [[0, 0, -5], [0, 3, 5], [0, 0, 5]]], np.float32)
+    tris.append(w)
+    cfg = NavMeshConfig(cell_size=0.2, agent_radius=0.2,
+                        agent_max_climb=0.3, min_region_area=0.2)
+    nm = NavMeshBuilder(cfg).build(np.concatenate(tris, 0))
+    left = nm.world_to_cell((-3.0, 0, 0.0))
+    right = nm.world_to_cell((3.0, 0, 0.0))
+    assert nm.is_walkable(*left) and nm.is_walkable(*right)
+    assert nm.region[left] != nm.region[right]
+    nav = NavMeshNavigator(nm)
+    with pytest.raises(NoPathError):
+        nav.find_path((-3.0, 0, 0.0), (3.0, 0, 0.0))
 
 
 def test_wall_top_requires_climb():
