@@ -55,7 +55,18 @@ class RenderConfig:
     max_is_lights: int = 8             # lights_shared.h:25 MAXISLIGHTS
     tri_chunk: int = 1024              # brute-force intersector chunk
     use_bvh: bool = True
+    # "auto" = pallas cluster kernel on TPU, lockstep JAX BVH on CPU;
+    # "cluster" | "lockstep" | "brute" force a specific intersector
+    intersector: str = "auto"
+    kernel_interpret: bool = False     # run pallas kernels interpreted (tests)
+    # order rays in 32x32 pixel tiles so each 1024-ray kernel block is
+    # spatially coherent (packet traversal); auto-disabled unless w,h % 32
+    tile_order: bool = True
     dtype: Any = jnp.float32
+
+    def tiled(self) -> bool:
+        return (self.tile_order and self.width % 32 == 0
+                and self.height % 32 == 0)
 
     @property
     def n_paths(self) -> int:

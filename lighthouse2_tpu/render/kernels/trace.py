@@ -1,0 +1,275 @@
+"""Speculative packet BVH traversal — the TPU intersection kernel.
+
+The reference's hot trace stage is an OptiX RTX launch (rendercore_optix7/
+optix/.optix.cu:151-170); the CPU core traverses a BVH2 recursively per ray
+(RenderCore_Bart/bvh.cpp:258-302). Neither maps to a TPU. This kernel is the
+TPU-native redesign:
+
+  - rays are processed in BLOCKS of 1024 (one (8,128) f32 vreg tile per
+    component). The whole block walks the tree in lockstep with ONE scalar
+    node pointer (no per-ray stack at all);
+  - the top tree is DFS-ordered with SKIP LINKS (bvh/clusters.py): if any
+    ray in the block enters a node's AABB the block descends (node+1),
+    otherwise it jumps the whole subtree (skip). Node boxes are scalar-
+    prefetched into SMEM, so a node step is 6 scalar loads + a dense
+    (8,128) slab test;
+  - leaves are triangle CLUSTERS (<=128 tris per tile) stored as dense
+    [16,128] f32 tiles; a visited cluster is DMA'd to SMEM scratch and every
+    triangle is tested against all 1024 rays with dense Moller-Trumbore
+    vector math (no gathers anywhere);
+  - the kernel runs as ONE pallas grid step with an internal loop over ray
+    blocks — a grid step per block costs ~13us of pipeline overhead on v5e,
+    the internal loop ~0.5us per block (measured 40x difference).
+
+Speculation cost: every ray in a block pays for the union of nodes/clusters
+any ray in the block needs — the classic packet-traversal trade. Rays are
+therefore ordered tile-coherently by the caller (render/wavefront.py).
+
+Differentiability: traversal is discrete; gradients flow through
+bvh.traverse.refine_hit exactly as in the lockstep JAX path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lighthouse2_tpu.bvh.clusters import (
+    ClusterBVH, ROW_V0, ROW_E1, ROW_E2, ROW_PRIM, TILE_ROWS, CLUSTER_LANES,
+)
+
+BLOCK_SUB = 8          # sublanes per ray block
+BLOCK_LANES = 128      # lanes per ray block
+BLOCK = BLOCK_SUB * BLOCK_LANES
+CHUNK_BLOCKS = 64      # ray blocks per pallas launch (VMEM budget)
+MT_EPS = 1e-6          # Moller-Trumbore t epsilon (bvh/traverse.py parity)
+
+
+def _slab(box, ox, oy, oz, ix, iy, iz, best):
+    """Dense slab test of one AABB (6 SMEM scalars) vs an (8,128) ray block.
+    Entry distance clamped to >=0 so dead lanes (tmax<=0) never pass."""
+    t0x = (box[0] - ox) * ix
+    t1x = (box[3] - ox) * ix
+    t0y = (box[1] - oy) * iy
+    t1y = (box[4] - oy) * iy
+    t0z = (box[2] - oz) * iz
+    t1z = (box[5] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    tn = jnp.maximum(tn, 0.0)
+    return (tf >= tn) & (tn < best)
+
+
+def _one_tri(scratch, k, c, ox, oy, oz, dx, dy, dz, anyhit):
+    """Moller-Trumbore of SMEM triangle k against the whole ray block."""
+    best, bp, bu, bv = c
+    pid = scratch[ROW_PRIM, k]
+    v0x = scratch[ROW_V0, k]
+    v0y = scratch[ROW_V0 + 1, k]
+    v0z = scratch[ROW_V0 + 2, k]
+    e1x = scratch[ROW_E1, k]
+    e1y = scratch[ROW_E1 + 1, k]
+    e1z = scratch[ROW_E1 + 2, k]
+    e2x = scratch[ROW_E2, k]
+    e2y = scratch[ROW_E2 + 1, k]
+    e2z = scratch[ROW_E2 + 2, k]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    ok = ((jnp.abs(det) >= 1e-12) & (u >= 0.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > MT_EPS) & (t < best) & (pid >= 0.0))
+    best = jnp.where(ok, t, best)
+    bp = jnp.where(ok, pid, bp)
+    if not anyhit:
+        bu = jnp.where(ok, u, bu)
+        bv = jnp.where(ok, v, bv)
+    return best, bp, bu, bv
+
+
+def _make_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
+                 anyhit: bool):
+    def kernel(boxes_ref, meta_ref,          # scalar-prefetch (SMEM)
+               tiles_ref,                    # ANY (HBM) [C*TPC, 16, 128]
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               t_out, p_out, u_out, v_out,
+               scratch, sem):
+
+        def trace_block(b, _):
+            r = pl.multiple_of(b * BLOCK_SUB, BLOCK_SUB)
+            sl = (pl.ds(r, BLOCK_SUB), slice(None))
+            ox, oy, oz = ox_ref[sl], oy_ref[sl], oz_ref[sl]
+            dx, dy, dz = dx_ref[sl], dy_ref[sl], dz_ref[sl]
+            tmax = tmax_ref[sl]
+
+            def inv(d):
+                mag = jnp.maximum(jnp.abs(d), 1e-20)
+                return jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
+            ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+            carry0 = (tmax, jnp.full_like(tmax, -1.0),
+                      jnp.zeros_like(tmax), jnp.zeros_like(tmax))
+
+            # The walk is TWO nested whiles and NO lax.cond (conditionally
+            # executed DMA+intersect bodies explode Mosaic compile time):
+            # the inner while advances the node pointer to the next cluster
+            # leaf any ray's box-test enters; the outer body then visits
+            # that cluster UNCONDITIONALLY. Visiting one cluster too many
+            # (inner ended at n_nodes) is harmless: clusters hold only real
+            # scene triangles, so extra tests can only produce real hits,
+            # and padding lanes carry prim=-1.
+            def walk_to_leaf(node, best):
+                """Advance the node pointer to the next cluster leaf whose
+                AABB any ray enters, or to n_nodes. One slab test per node
+                (the stop flag is carried so cond() does no vector work)."""
+                def w_cond(c):
+                    return ~c[1]
+
+                def w_body(c):
+                    nd, _ = c
+                    box = (boxes_ref[nd, 0], boxes_ref[nd, 1],
+                           boxes_ref[nd, 2], boxes_ref[nd, 3],
+                           boxes_ref[nd, 4], boxes_ref[nd, 5])
+                    hit = _slab(box, ox, oy, oz, ix, iy, iz, best)
+                    anyh = jnp.any(hit)
+                    is_leaf = meta_ref[nd, 1] >= 0
+                    hit_leaf = anyh & is_leaf
+                    nxt = jnp.where(anyh & ~is_leaf, nd + 1, meta_ref[nd, 0])
+                    nxt = jnp.where(hit_leaf, nd, nxt)
+                    return nxt, hit_leaf | (nxt >= n_nodes)
+                nd, _ = jax.lax.while_loop(w_cond, w_body,
+                                           (node, node >= n_nodes))
+                return nd
+
+            def visit_cluster(cid, carry):
+                def tile_body(j, c):
+                    dma = pltpu.make_async_copy(
+                        tiles_ref.at[cid * tiles_per_cluster + j],
+                        scratch, sem)
+                    dma.start()
+                    dma.wait()
+
+                    def two(i, cc):
+                        cc = _one_tri(scratch, 2 * i, cc, ox, oy, oz,
+                                      dx, dy, dz, anyhit)
+                        return _one_tri(scratch, 2 * i + 1, cc, ox, oy, oz,
+                                        dx, dy, dz, anyhit)
+                    return jax.lax.fori_loop(0, CLUSTER_LANES // 2, two, c)
+                return jax.lax.fori_loop(0, tiles_per_cluster, tile_body,
+                                         carry)
+
+            def cond(c):
+                node = c[0]
+                if anyhit:
+                    # fire-and-forget shadow rays: stop once every live ray
+                    # (tmax>0) is occluded (TERMINATE_ON_FIRST_HIT analog)
+                    return (node < n_nodes) & jnp.any((c[1][0] >= tmax)
+                                                      & (tmax > 0))
+                return node < n_nodes
+
+            def body(c):
+                node, carry = c
+                node = walk_to_leaf(node, carry[0])
+                nd_c = jnp.minimum(node, n_nodes - 1)
+                cid = jnp.maximum(meta_ref[nd_c, 1], 0)
+                carry = visit_cluster(cid, carry)
+                return meta_ref[nd_c, 0], carry
+
+            _, (best, bp, bu, bv) = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), carry0))
+            t_out[sl] = best
+            p_out[sl] = bp
+            u_out[sl] = bu
+            v_out[sl] = bv
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, trace_block, 0)
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_nodes", "tiles_per_cluster", "anyhit",
+                                    "interpret"))
+def _trace_chunk(boxes, meta, tiles, ox, oy, oz, dx, dy, dz, tmax,
+                 n_nodes: int, tiles_per_cluster: int, anyhit: bool,
+                 interpret: bool = False):
+    """One pallas launch over [R,128] ray arrays (R = blocks*8). Returns
+    (t, prim_f32, u, v) with the same shape."""
+    n_blocks = ox.shape[0] // BLOCK_SUB
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [vm() for _ in range(7)],
+        out_specs=[vm() for _ in range(4)],
+        scratch_shapes=[
+            pltpu.SMEM((TILE_ROWS, CLUSTER_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    shape = jax.ShapeDtypeStruct(ox.shape, jnp.float32)
+    kernel = _make_kernel(n_nodes, tiles_per_cluster, n_blocks, anyhit)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[shape] * 4,
+        interpret=interpret,
+    )(boxes, meta, tiles, ox, oy, oz, dx, dy, dz, tmax)
+
+
+def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
+                      interpret: bool = False):
+    """Closest-hit (or any-hit) of [N,3] rays against a ClusterBVH.
+
+    Returns (t, prim, u, v) with prim = -1 on miss, or occluded bool [N]
+    for anyhit. Non-differentiable (pair with bvh.traverse.refine_hit)."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    n = o.shape[0]
+    n_blocks = -(-n // BLOCK)
+    chunk_blocks = min(CHUNK_BLOCKS, n_blocks)
+    chunk = chunk_blocks * BLOCK
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    def prep(x):
+        # padded lanes carry tmax=0 -> never hit, terminate instantly
+        return jnp.pad(x, (0, pad)).reshape(n_chunks, chunk_blocks * BLOCK_SUB,
+                                            BLOCK_LANES)
+
+    args = [prep(x) for x in
+            (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmax)]
+    fn = functools.partial(
+        _trace_chunk, jax.lax.stop_gradient(bvh.boxes), bvh.meta, bvh.tiles,
+        n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
+        anyhit=anyhit, interpret=interpret)
+    if n_chunks == 1:
+        t, p, u, v = fn(*(a[0] for a in args))
+    else:
+        t, p, u, v = jax.lax.map(lambda a: fn(*a), tuple(args))
+    t = t.reshape(-1)[:n]
+    p = p.reshape(-1)[:n]
+    if anyhit:
+        return t < tmax
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    prim = jnp.where(t < tmax, p.astype(jnp.int32), -1)
+    t = jnp.where(prim >= 0, t, jnp.broadcast_to(tmax, t.shape))
+    return t, prim, u, v

@@ -87,6 +87,34 @@ def _masked_div(num, den, mask):
                      if num.ndim != den.ndim else num / den_safe, 0.0)
 
 
+def _tiled_pixel(slot, w: int):
+    """Map a ray slot to its pixel in 32x32-tile order (arithmetic only, no
+    gather): slot s belongs to tile s>>10; within-tile s&1023 is row-major.
+    One 1024-ray intersection-kernel block therefore covers one screen tile
+    — the packet-coherence requirement of render/kernels/trace.py."""
+    tiles_x = w // 32
+    tile = slot >> jnp.uint32(10)
+    within = slot & jnp.uint32(1023)
+    tx = tile % jnp.uint32(tiles_x)
+    ty = tile // jnp.uint32(tiles_x)
+    lx = within & jnp.uint32(31)
+    ly = within >> jnp.uint32(5)
+    return (ty * 32 + ly) * jnp.uint32(w) + tx * 32 + lx
+
+
+def untile_image(x, config: RenderConfig):
+    """Inverse of _tiled_pixel over a [..., W*H, C] slot-ordered array →
+    pixel-ordered, as a pure reshape/transpose (no gather)."""
+    if not config.tiled():
+        return x
+    w, h = config.width, config.height
+    lead = x.shape[:-2]
+    c = x.shape[-1]
+    x = x.reshape(*lead, h // 32, w // 32, 32, 32, c)
+    x = jnp.moveaxis(x, -3, -4)      # [..., ty, ly, tx, lx, c]
+    return x.reshape(*lead, h * w, c)
+
+
 def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
                       path_idx=None):
     """Primary-ray generation (optix/.optix.cu:66-99 generateEyeRay):
@@ -99,7 +127,11 @@ def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
         path_idx = jnp.arange(config.n_paths, dtype=jnp.uint32)
     path_idx = path_idx.astype(jnp.uint32)
     n = path_idx.shape[0]
-    pixel_idx = (path_idx % jnp.uint32(w * h)).astype(jnp.int32)
+    slot = path_idx % jnp.uint32(w * h)
+    if config.tiled():
+        pixel_idx = _tiled_pixel(slot, w).astype(jnp.int32)
+    else:
+        pixel_idx = slot.astype(jnp.int32)
     seed = rng_mod.raygen_seed(path_idx, jnp.asarray(sample_base, jnp.uint32))
 
     seed, r0 = rng_mod.random_float(seed)
@@ -144,24 +176,51 @@ def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
     pos_on_pixel = jnp.where(view.distortion == 0.0, pos_nodist, pos_dist)
 
     direction = normalize(pos_on_pixel - origin)
+    # constants derive from path_idx so their varying-manual-axes match the
+    # sharded inputs under shard_map(check_vma=True)
+    zf = pixel_idx.astype(jnp.float32) * 0.0
     return dict(
         path_idx=path_idx,
         origin=origin,
         dir=direction,
-        throughput=jnp.ones((n, 3), jnp.float32),
-        bsdf_pdf=jnp.ones((n,), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32) + zf[:, None],
+        bsdf_pdf=zf + 1.0,
         last_n=direction,                      # unused until first diffuse hit
-        prev_specular=jnp.ones((n,), bool),    # primary rays act as "via specular"
-        n_diffuse=jnp.zeros((n,), jnp.int32),
-        alive=jnp.ones((n,), bool),
+        prev_specular=zf == 0.0,               # primary rays act as "via specular"
+        n_diffuse=zf.astype(jnp.int32),
+        alive=zf == 0.0,
         pixel=pixel_idx,
     )
 
 
+def _pick_intersector(scene: DeviceScene, config: RenderConfig) -> str:
+    """Resolve config.intersector="auto": the pallas cluster kernel owns the
+    TPU hot path; CPU keeps the lockstep JAX traversal (pallas interpret mode
+    is only for kernel unit tests)."""
+    if not config.use_bvh:
+        return "brute"
+    mode = config.intersector
+    if mode == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        mode = "cluster" if (on_tpu and getattr(scene, "cbvh", None)
+                             is not None) else "lockstep"
+    if mode == "cluster" and getattr(scene, "cbvh", None) is None:
+        mode = "lockstep"
+    if mode == "lockstep" and scene.bvh is None:
+        mode = "brute"
+    return mode
+
+
 def _intersect(scene: DeviceScene, o, d, config: RenderConfig):
     tris = scene.tris
-    if config.use_bvh and scene.bvh is not None:
-        t, prim, u, v = bvh_intersect(o, d, scene.bvh, tris.v0, tris.e1, tris.e2)
+    mode = _pick_intersector(scene, config)
+    if mode == "cluster":
+        from lighthouse2_tpu.render.kernels.trace import trace_cluster_bvh
+        t, prim, u, v = trace_cluster_bvh(o, d, scene.cbvh, BIG_T,
+                                          interpret=config.kernel_interpret)
+    elif mode == "lockstep":
+        t, prim, u, v = bvh_intersect(o, d, scene.bvh, tris.v0, tris.e1,
+                                      tris.e2)
     else:
         t, prim, u, v = intersect_bruteforce(o, d, tris.v0, tris.e1, tris.e2,
                                              chunk=config.tri_chunk)
@@ -175,8 +234,14 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig):
 
 def _occluded(scene: DeviceScene, o, d, t_max, config: RenderConfig):
     tris = scene.tris
-    if config.use_bvh and scene.bvh is not None:
-        return bvh_occluded(o, d, t_max, scene.bvh, tris.v0, tris.e1, tris.e2)
+    mode = _pick_intersector(scene, config)
+    if mode == "cluster":
+        from lighthouse2_tpu.render.kernels.trace import trace_cluster_bvh
+        return trace_cluster_bvh(o, d, scene.cbvh, t_max, anyhit=True,
+                                 interpret=config.kernel_interpret)
+    if mode == "lockstep":
+        return bvh_occluded(o, d, t_max, scene.bvh, tris.v0, tris.e1,
+                            tris.e2)
     return occluded_bruteforce(o, d, t_max, tris.v0, tris.e1, tris.e2,
                                chunk=config.tri_chunk)
 
@@ -195,21 +260,23 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
 
     paths = generate_eye_rays(view, config, sample_base, path_idx)
     n = paths["path_idx"].shape[0]
+    zf = paths["bsdf_pdf"] * 0.0              # shard-varying zeros [n]
     # per-path radiance accumulation; reduced to pixels ONCE at the end
     # (scatter-adds inside the bounce loop serialize on TPU)
-    acc = jnp.zeros((n, 4), jnp.float32)
+    acc = jnp.zeros((n, 4), jnp.float32) + zf[:, None]
     if config.filter_enabled:
         # SVGF G-buffers (RenderCore_Optix7Filter features; SURVEY §2.2):
         # indirect accumulator + primary-hit albedo/normal/depth/worldpos
-        paths["acc_ind"] = jnp.zeros((n, 3), jnp.float32)
-        paths["g_albedo"] = jnp.ones((n, 3), jnp.float32)
-        paths["g_normal"] = jnp.zeros((n, 3), jnp.float32)
-        paths["g_depth"] = jnp.zeros((n,), jnp.float32)
-        paths["g_wpos"] = jnp.full((n, 3), 1e30, jnp.float32)
+        paths["acc_ind"] = jnp.zeros((n, 3), jnp.float32) + zf[:, None]
+        paths["g_albedo"] = jnp.ones((n, 3), jnp.float32) + zf[:, None]
+        paths["g_normal"] = jnp.zeros((n, 3), jnp.float32) + zf[:, None]
+        paths["g_depth"] = zf
+        paths["g_wpos"] = jnp.full((n, 3), 1e30, jnp.float32) + zf[:, None]
 
+    zi0 = zf[0].astype(jnp.int32)             # shard-varying zero scalar
     stats0 = dict(
-        extension_rays=jnp.zeros((config.max_path_length,), jnp.int32),
-        shadow_rays=jnp.zeros((config.max_path_length,), jnp.int32),
+        extension_rays=jnp.zeros((config.max_path_length,), jnp.int32) + zi0,
+        shadow_rays=jnp.zeros((config.max_path_length,), jnp.int32) + zi0,
     )
 
     def bounce(carry, li):
@@ -238,15 +305,16 @@ def _finish_pass(config, paths, acc, stats, path_idx, cam_seed):
     wh = config.width * config.height
     if path_idx is None:
         spp = config.spp_per_pass
+        unt = lambda x: untile_image(x.reshape(spp, wh, -1), config)
         if config.filter_enabled:
             aux = dict(
-                indirect=paths["acc_ind"].reshape(spp, wh, 3).sum(0),
-                albedo=paths["g_albedo"].reshape(spp, wh, 3).mean(0),
-                normal=paths["g_normal"].reshape(spp, wh, 3).mean(0),
-                depth=paths["g_depth"].reshape(spp, wh).mean(0),
-                world_pos=paths["g_wpos"].reshape(spp, wh, 3).mean(0),
+                indirect=unt(paths["acc_ind"]).sum(0),
+                albedo=unt(paths["g_albedo"]).mean(0),
+                normal=unt(paths["g_normal"]).mean(0),
+                depth=unt(paths["g_depth"]).mean(0)[:, 0],
+                world_pos=unt(paths["g_wpos"]).mean(0),
             )
-        acc = acc.reshape(spp, wh, 4).sum(0)
+        acc = unt(acc).sum(0)
     else:
         acc = jnp.zeros((wh, 4), jnp.float32).at[paths["pixel"]].add(acc)
 

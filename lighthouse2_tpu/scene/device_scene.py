@@ -140,7 +140,8 @@ class DeviceScene:
     lights: DeviceLights
     sky: DeviceSky
     textures: DeviceTextures
-    bvh: "object | None" = None   # DeviceBVH pytree (bvh/flatten.py) or None
+    bvh: "object | None" = None   # DeviceBVH pytree (bvh/traverse.py) or None
+    cbvh: "object | None" = None  # ClusterBVH pytree (bvh/clusters.py) or None
 
 
 # ---------------------------------------------------------------------------

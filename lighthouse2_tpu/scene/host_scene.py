@@ -263,9 +263,17 @@ class HostScene:
             else np.zeros((1, 1, 3), np.float32)))
 
         bvh = None
+        cbvh = None
         if rebuild_bvh:
-            from lighthouse2_tpu.bvh import build_device_bvh
-            bvh = build_device_bvh(world["v0"], world["v1"], world["v2"])
+            from lighthouse2_tpu.bvh.builder import build_sah_bvh
+            from lighthouse2_tpu.bvh.traverse import device_bvh_from_flat
+            from lighthouse2_tpu.bvh.clusters import cut_clusters
+            flat = build_sah_bvh(world["v0"], world["v1"], world["v2"])
+            bvh = device_bvh_from_flat(flat, world["v0"], world["v1"],
+                                       world["v2"])
+            # the pallas packet-traversal layout (render/kernels/trace.py);
+            # shares the SAH topology, only re-cuts/re-flattens it
+            cbvh = cut_clusters(flat, world["v0"], world["v1"], world["v2"])
 
         if self.textures:
             from lighthouse2_tpu.scene.host_texture import build_texture_pool
@@ -274,7 +282,7 @@ class HostScene:
             textures = empty_textures()
 
         scene = DeviceScene(tris=tris, materials=materials, lights=lights,
-                            sky=sky, textures=textures, bvh=bvh)
+                            sky=sky, textures=textures, bvh=bvh, cbvh=cbvh)
         self._cached = scene
         self.dirty = False
         return scene
