@@ -90,6 +90,17 @@ class RenderAPI:
         except FileNotFoundError:
             pass
 
+    def serialize_materials(self, path):
+        """RenderAPI::SerializeMaterials analog (render_api.h / main.cpp:273)."""
+        self.scene.serialize_materials(path)
+
+    def deserialize_materials(self, path):
+        """RenderAPI::DeserializeMaterials analog (main.cpp:67)."""
+        try:
+            return self.scene.deserialize_materials(path)
+        except FileNotFoundError:
+            return 0
+
     def set_setting(self, name: str, value):
         self.core.setting(name, value)
 

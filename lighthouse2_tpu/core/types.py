@@ -58,6 +58,9 @@ class RenderConfig:
     # "auto" = pallas cluster kernel on TPU, lockstep JAX BVH on CPU;
     # "cluster" | "lockstep" | "brute" force a specific intersector
     intersector: str = "auto"
+    # BLUENOISE (rendercore_optix7/core_settings.h): blue-noise sampler for
+    # camera dims 0-3 (spp<256), NEE dims 4/5 (spp<2), BSDF dims 6/7 (spp<256)
+    blue_noise: bool = False
     kernel_interpret: bool = False     # run pallas kernels interpreted (tests)
     # order rays in 32x32 pixel tiles so each 1024-ray kernel block is
     # spatially coherent (packet traversal); auto-disabled unless w,h % 32

@@ -1,0 +1,94 @@
+"""Multi-host orchestration + scaling-efficiency rig.
+
+The reference is a single-process program (SURVEY.md §2.5/§5.8); multi-host
+is an obligation of the TPU framework (BASELINE.md: >=80% rays/s scaling
+efficiency at 1 chip / 1 host / 2+ hosts). This module provides:
+
+  - `init_distributed()` — `jax.distributed.initialize` wrapper (DCN
+    bootstrap; coordinator/process env comes from the launcher, exactly the
+    normal JAX multi-host contract);
+  - `global_mesh()` — one 'rays' mesh over every chip of every host;
+  - `measure_scaling()` — rays/s vs device count on whatever devices exist
+    (real chips, or the virtual CPU mesh in tests/CI), reporting efficiency
+    relative to the 1-device run.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from lighthouse2_tpu.core.types import RenderConfig
+from lighthouse2_tpu.parallel.mesh import (
+    make_mesh, replicate_scene, render_pass_sharded)
+from lighthouse2_tpu.render.wavefront import AccumState
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Initialize the multi-host runtime (no-op if single-process).
+
+    Arguments default to the JAX env-var contract (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID) so standard launchers work unchanged.
+    Returns the number of processes.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    return jax.process_count()
+
+
+def global_mesh(axis: str = "rays"):
+    """A 1-D mesh over every addressable chip of every host."""
+    return make_mesh(None, axis=axis)
+
+
+def measure_scaling(scene, view, config: RenderConfig,
+                    device_counts=None, passes: int = 3,
+                    warmup: int = 1) -> list[dict]:
+    """Rays/s at each device count; efficiency vs the 1-device baseline.
+
+    Per BASELINE.md the metric is total rays traced per second; rays are
+    counted exactly like the single-chip bench (extension + shadow rays from
+    the wavefront stats — CoreStats analog).
+    """
+    n_dev = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    rows = []
+    base_rate = None
+    for nd in device_counts:
+        if config.n_paths % nd != 0:
+            continue
+        mesh = make_mesh(nd)
+        dsr = replicate_scene(scene, mesh)
+        state = AccumState.make(config)
+        # warmup/compile — no readbacks inside the timed loop (axon relay)
+        for _ in range(warmup):
+            state, stats = render_pass_sharded(dsr, view, state, config, mesh)
+        jax.block_until_ready(state.accumulator)
+        all_stats = []
+        t0 = time.perf_counter()
+        for _ in range(passes):
+            state, stats = render_pass_sharded(dsr, view, state, config, mesh)
+            all_stats.append(stats)
+        jax.block_until_ready(state.accumulator)
+        dt = time.perf_counter() - t0
+        rays = sum(int(s["total_extension"]) + int(s["total_shadow"])
+                   for s in all_stats)
+        rate = rays / dt
+        if base_rate is None:
+            base_rate = rate / nd
+        rows.append(dict(
+            devices=nd,
+            mrays_per_s=rate / 1e6,
+            mrays_per_s_per_device=rate / nd / 1e6,
+            efficiency=rate / (base_rate * nd),
+        ))
+    return rows

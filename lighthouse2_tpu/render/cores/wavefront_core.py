@@ -17,7 +17,7 @@ import numpy as np
 from lighthouse2_tpu.core.types import RenderConfig
 from lighthouse2_tpu.render.cores.base import RenderCore, register_core
 from lighthouse2_tpu.render.wavefront import (
-    AccumState, render_pass_jit, finalize,
+    AccumState, render_pass_auto, finalize,
 )
 
 
@@ -34,7 +34,7 @@ class WavefrontCore(RenderCore):
         if self.state is None or not converge:
             self.state = AccumState.make(self.config)   # Convergence::Restart
         t0 = time.perf_counter()
-        self.state, stats = render_pass_jit(
+        self.state, stats = render_pass_auto(
             device_scene, view, self.state, self.config)
         jax.block_until_ready(self.state.accumulator)
         wall = time.perf_counter() - t0
@@ -86,7 +86,7 @@ class FilteredWavefrontCore(RenderCore):
             self.taa_state = TAAState.make(h, w)
         t0 = time.perf_counter()
         state = AccumState.make(self.config)   # fresh accumulator every frame
-        state, stats = render_pass_jit(device_scene, view, state, self.config)
+        state, stats = render_pass_auto(device_scene, view, state, self.config)
         aux = stats["filter_aux"]
         img = lambda x: jnp.asarray(x).reshape(h, w, *x.shape[1:])
         spp = max(1, self.config.spp_per_pass)

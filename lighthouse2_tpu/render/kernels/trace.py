@@ -173,6 +173,13 @@ def _make_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
                 return jax.lax.fori_loop(0, tiles_per_cluster, tile_body,
                                          carry)
 
+            # dead-lane early-out: a block whose rays ALL carry tmax<=0
+            # (masked-out wavefront lanes) does zero traversal work — the
+            # static-shape compaction analog of the reference's stream
+            # compaction (pathtracer.h:233); with 32x32 tile ordering whole
+            # blocks die together as paths terminate
+            any_live = jnp.any(tmax > 0.0)
+
             def cond(c):
                 node = c[0]
                 if anyhit:
@@ -180,7 +187,7 @@ def _make_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
                     # (tmax>0) is occluded (TERMINATE_ON_FIRST_HIT analog)
                     return (node < n_nodes) & jnp.any((c[1][0] >= tmax)
                                                       & (tmax > 0))
-                return node < n_nodes
+                return (node < n_nodes) & any_live
 
             def body(c):
                 node, carry = c

@@ -2,10 +2,16 @@
 
 Reference (lights_shared.h:36-261) computes per-light "potential
 contributions" in a sequential MAXISLIGHTS=8 loop per path. On TPU we compute
-the full [rays, lights] potential matrix with broadcast math (the padded light
-arrays are tiny compared to the ray count), importance-pick by inverse-CDF,
-and reuse the same potentials for the MIS pick probability of implicit hits —
-identical math, no 8-light cap.
+the full [lights, rays] potential matrix with broadcast math (the padded
+light arrays are tiny compared to the ray count), importance-pick by
+inverse-CDF, and reuse the same potentials for the MIS pick probability of
+implicit hits — identical math, no 8-light cap.
+
+Layout note (TPU-critical, measured): every per-light-per-ray intermediate
+is **[L, N] component-major** — rays in the minor (lane) dimension. The
+naive [N, L, 3] layout puts 3 in the lane dim, which Mosaic/XLA pads to 128
+lanes (42x wasted bandwidth) — it measured 12 ms per call on a 262k-ray
+wavefront vs ~1 ms for this layout.
 
 Unified light index space: [0, LT) area, [LT, LT+LP) point, then spot, dir.
 """
@@ -20,65 +26,98 @@ from lighthouse2_tpu.scene.device_scene import DeviceLights
 DIR_LIGHT_DISTANCE = 1000.0  # lights_shared.h:257 (I - 1000*L)
 
 
-def _att(l_vec):
-    return 1.0 / jnp.maximum(dot(l_vec, l_vec), 1e-12)
+def _comps(a):
+    """[K,3] light-constant array → three [K,1] column vectors."""
+    return a[:, 0:1], a[:, 1:2], a[:, 2:3]
 
 
-def potential_contributions(lights: DeviceLights, i_pos, n, area_point=None):
-    """[N, L_total] potential light contributions from surface point i_pos with
-    normal n. If `area_point` [N, LT, 3] is given, area-light potentials are
-    evaluated toward those (bary-sampled) points, else toward the light centre
-    slot used by the reference when bary.x<0 (lights_shared.h:46).
+def _rows(v):
+    """[N,3] ray array → three [1,N] rows."""
+    return v[:, 0][None], v[:, 1][None], v[:, 2][None]
 
-    Returns (potential [N, LTot], layout tuple (lt, lp, ls, ld)).
+
+def _normalize3(x, y, z):
+    d2 = x * x + y * y + z * z
+    inv = jnp.where(d2 > 0, 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-30)), 0.0)
+    return x * inv, y * inv, z * inv, d2
+
+
+def potential_contributions(lights: DeviceLights, i_pos, n,
+                            area_point=None):
+    """Potential light contributions [L_total, N] from surface points i_pos
+    [N,3] with normals n [N,3]. `area_point` (optional) gives per-ray target
+    points on every area light as component rows ([LT,N] x, y, z); default is
+    the light centre (the reference's bary.x<0 path, lights_shared.h:46).
+
+    Returns (potential [LTot, N], layout tuple (lt, lp, ls, ld)).
     """
     lt = lights.tri_v0.shape[0]
     lp = lights.point_pos.shape[0]
     ls = lights.spot_pos.shape[0]
     ld = lights.dir_dir.shape[0]
 
-    i_e = i_pos[:, None, :]
-    n_e = n[:, None, :]
+    ix, iy, iz = _rows(i_pos)
+    nx, ny, nz = _rows(n)
 
     # area lights (PotentialAreaLightContribution, lights_shared.h:36-58)
-    target = area_point if area_point is not None else \
-        jnp.broadcast_to(lights.tri_centre[None], (i_pos.shape[0], lt, 3))
-    l_vec = target - i_e
-    att = _att(l_vec)
-    l_dir = normalize(l_vec)
-    ln_dot_l = jnp.maximum(0.0, -dot(jnp.broadcast_to(lights.tri_n[None], l_dir.shape), l_dir))
-    n_dot_l = jnp.maximum(0.0, dot(n_e, l_dir))
-    pot_area = lights.tri_energy[None] * ln_dot_l * n_dot_l * att
-    pot_area = jnp.where(jnp.arange(lt)[None] < lights.n_tri, pot_area, 0.0)
+    if area_point is not None:
+        tx, ty, tz = area_point
+    else:
+        cx, cy, cz = _comps(lights.tri_centre)
+        tx, ty, tz = (jnp.broadcast_to(c, (lt, ix.shape[1]))
+                      for c in (cx, cy, cz))
+    lx, ly, lz = tx - ix, ty - iy, tz - iz
+    lx, ly, lz, d2 = _normalize3(lx, ly, lz)
+    att = 1.0 / jnp.maximum(d2, 1e-12)
+    tnx, tny, tnz = _comps(lights.tri_n)
+    ln_dot_l = jnp.maximum(0.0, -(tnx * lx + tny * ly + tnz * lz))
+    n_dot_l = jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
+    pot_area = lights.tri_energy[:, None] * ln_dot_l * n_dot_l * att
+    pot_area = jnp.where(jnp.arange(lt)[:, None] < lights.n_tri, pot_area, 0.0)
 
     # point lights (lights_shared.h:64-73)
-    l_vec = lights.point_pos[None] - i_e
-    pot_point = lights.point_energy[None] * jnp.maximum(0.0, dot(n_e, normalize(l_vec))) * _att(l_vec)
-    pot_point = jnp.where(jnp.arange(lp)[None] < lights.n_point, pot_point, 0.0)
+    px, py, pz = _comps(lights.point_pos)
+    lx, ly, lz = px - ix, py - iy, pz - iz
+    lx, ly, lz, d2 = _normalize3(lx, ly, lz)
+    pot_point = (lights.point_energy[:, None]
+                 * jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
+                 / jnp.maximum(d2, 1e-12))
+    pot_point = jnp.where(jnp.arange(lp)[:, None] < lights.n_point,
+                          pot_point, 0.0)
 
     # spot lights (lights_shared.h:79-92)
-    l_vec = lights.spot_pos[None] - i_e
-    att = _att(l_vec)
-    l_dir = normalize(l_vec)
-    d = (jnp.maximum(0.0, -dot(l_dir, lights.spot_dir[None]))
-         - lights.spot_cos_outer[None]) / jnp.maximum(
-             lights.spot_cos_inner[None] - lights.spot_cos_outer[None], 1e-6)
-    pot_spot = (lights.spot_energy[None]
-                * jnp.clip(d, 0.0, 1.0)
-                * jnp.maximum(0.0, dot(n_e, l_dir)) * att)
-    pot_spot = jnp.where(jnp.arange(ls)[None] < lights.n_spot, pot_spot, 0.0)
+    sx, sy, sz = _comps(lights.spot_pos)
+    lx, ly, lz = sx - ix, sy - iy, sz - iz
+    lx, ly, lz, d2 = _normalize3(lx, ly, lz)
+    dx, dy, dz = _comps(lights.spot_dir)
+    fall = (jnp.maximum(0.0, -(lx * dx + ly * dy + lz * dz))
+            - lights.spot_cos_outer[:, None]) / jnp.maximum(
+                (lights.spot_cos_inner - lights.spot_cos_outer)[:, None], 1e-6)
+    pot_spot = (lights.spot_energy[:, None] * jnp.clip(fall, 0.0, 1.0)
+                * jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
+                / jnp.maximum(d2, 1e-12))
+    pot_spot = jnp.where(jnp.arange(ls)[:, None] < lights.n_spot,
+                         pot_spot, 0.0)
 
     # directional lights (lights_shared.h:100-107)
-    pot_dir = lights.dir_energy[None] * jnp.maximum(
-        0.0, -dot(n_e, jnp.broadcast_to(lights.dir_dir[None], (i_pos.shape[0], ld, 3))))
-    pot_dir = jnp.where(jnp.arange(ld)[None] < lights.n_dir, pot_dir, 0.0)
+    dx, dy, dz = _comps(lights.dir_dir)
+    pot_dir = lights.dir_energy[:, None] * jnp.maximum(
+        0.0, -(nx * dx + ny * dy + nz * dz))
+    pot_dir = jnp.where(jnp.arange(ld)[:, None] < lights.n_dir, pot_dir, 0.0)
 
-    return jnp.concatenate([pot_area, pot_point, pot_spot, pot_dir], axis=1), (lt, lp, ls, ld)
+    return (jnp.concatenate([pot_area, pot_point, pot_spot, pot_dir], axis=0),
+            (lt, lp, ls, ld))
 
 
 def calculate_light_pdf(d, t, light_area, light_normal):
     """Solid-angle pdf of hitting a light (lights_shared.h:113-116)."""
     return (t * t) / (-dot(d, light_normal) * light_area)
+
+
+def _pick_row(mat, idx):
+    """mat[idx[n], n] for [L,N] mat and [N] idx, via one-hot sum (L small)."""
+    oh = jnp.arange(mat.shape[0])[:, None] == idx[None]
+    return jnp.sum(jnp.where(oh, mat, 0.0), axis=0)
 
 
 def light_pick_prob(lights: DeviceLights, ltri_idx, o, last_n, i_pos):
@@ -87,11 +126,13 @@ def light_pick_prob(lights: DeviceLights, ltri_idx, o, last_n, i_pos):
     area lights evaluated toward the actual hit point i_pos (bary.x<0 path
     uses L=I)."""
     lt = lights.tri_v0.shape[0]
-    target = jnp.broadcast_to(i_pos[:, None, :], (i_pos.shape[0], lt, 3))
+    hx, hy, hz = _rows(i_pos)
+    n = i_pos.shape[0]
+    target = (jnp.broadcast_to(hx, (lt, n)), jnp.broadcast_to(hy, (lt, n)),
+              jnp.broadcast_to(hz, (lt, n)))
     pot, _ = potential_contributions(lights, o, last_n, area_point=target)
-    s = jnp.sum(pot, axis=1)
-    idx = jnp.clip(ltri_idx, 0, pot.shape[1] - 1)
-    p = jnp.take_along_axis(pot, idx[:, None], axis=1)[:, 0]
+    s = jnp.sum(pot, axis=0)
+    p = _pick_row(pot, jnp.clip(ltri_idx, 0, pot.shape[0] - 1))
     return jnp.where(s > 0, p / jnp.where(s > 0, s, 1.0), 0.0)
 
 
@@ -101,79 +142,111 @@ def random_point_on_light(lights: DeviceLights, r0, r1, i_pos, n):
     Returns dict(point [N,3], light_pdf [N], pick_prob [N], color [N,3],
     ltri [N] — the picked area-light slot, or -1 for delta lights).
     """
+    lt = lights.tri_v0.shape[0]
+    lp = lights.point_pos.shape[0]
+    ls = lights.spot_pos.shape[0]
+    ld = lights.dir_dir.shape[0]
     n_rays = i_pos.shape[0]
+
     bu, bv = random_barycentrics(r0)
     bw = 1.0 - bu - bv
-    # bary-sampled point on EVERY area light (used for potentials and sample)
-    pts = (bu[:, None, None] * lights.tri_v0[None]
-           + bv[:, None, None] * lights.tri_v1[None]
-           + bw[:, None, None] * lights.tri_v2[None])
-    pot, (lt, lp, ls, ld) = potential_contributions(lights, i_pos, n, area_point=pts)
-    s = jnp.sum(pot, axis=1)
-    cdf = jnp.cumsum(pot, axis=1)
-    rs = (r1 * s)[:, None]
-    pick = jnp.sum((cdf < rs).astype(jnp.int32), axis=1)
-    pick = jnp.clip(pick, 0, pot.shape[1] - 1)
-    pick_prob = (jnp.take_along_axis(pot, pick[:, None], 1)[:, 0]
-                 / jnp.where(s > 0, s, 1.0))
+    # bary-sampled point on EVERY area light: [LT,N] per component
+    v0x, v0y, v0z = _comps(lights.tri_v0)
+    v1x, v1y, v1z = _comps(lights.tri_v1)
+    v2x, v2y, v2z = _comps(lights.tri_v2)
+    bu_, bv_, bw_ = bu[None], bv[None], bw[None]
+    ptx = bu_ * v0x + bv_ * v1x + bw_ * v2x
+    pty = bu_ * v0y + bv_ * v1y + bw_ * v2y
+    ptz = bu_ * v0z + bv_ * v1z + bw_ * v2z
+
+    pot, _ = potential_contributions(lights, i_pos, n,
+                                     area_point=(ptx, pty, ptz))
+    s = jnp.sum(pot, axis=0)
+    cdf = jnp.cumsum(pot, axis=0)
+    rs = (r1 * s)[None]
+    pick = jnp.sum((cdf < rs).astype(jnp.int32), axis=0)
+    pick = jnp.clip(pick, 0, pot.shape[0] - 1)
+    pick_prob = _pick_row(pot, pick) / jnp.where(s > 0, s, 1.0)
     pick_prob = jnp.where(s > 0, pick_prob, 0.0)
 
     is_area = pick < lt
     is_point = (pick >= lt) & (pick < lt + lp)
     is_spot = (pick >= lt + lp) & (pick < lt + lp + ls)
-    is_dir = pick >= lt + lp + ls
 
     a_i = jnp.clip(pick, 0, lt - 1)
     p_i = jnp.clip(pick - lt, 0, lp - 1)
     s_i = jnp.clip(pick - lt - lp, 0, ls - 1)
     d_i = jnp.clip(pick - lt - lp - ls, 0, ld - 1)
 
+    ix, iy, iz = i_pos[:, 0], i_pos[:, 1], i_pos[:, 2]
+    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+
+    def g(const_k3, idx):
+        """[K,3] light constants gathered by [N] idx → component rows [3,N]
+        (component-major gather — the fast TPU pattern)."""
+        return const_k3.T[:, idx]
+
     # area light sample (lights_shared.h:205-221)
-    p_area = pts[jnp.arange(n_rays), a_i]
-    l_rev = i_pos - p_area
-    sq = dot(l_rev, l_rev)
-    l_rev_n = normalize(l_rev)
-    ln_dot_l = dot(l_rev_n, lights.tri_n[a_i])
-    area_ok = (ln_dot_l > 0) & (dot(l_rev_n, n) < 0)
+    pax = _pick_row(ptx, a_i)
+    pay = _pick_row(pty, a_i)
+    paz = _pick_row(ptz, a_i)
+    lrx, lry, lrz = ix - pax, iy - pay, iz - paz
+    lrx_n, lry_n, lrz_n, sq = _normalize3(lrx, lry, lrz)
+    tn = g(lights.tri_n, a_i)
+    ln_dot_l = lrx_n * tn[0] + lry_n * tn[1] + lrz_n * tn[2]
+    to_n = lrx_n * nx + lry_n * ny + lrz_n * nz
+    area_ok = (ln_dot_l > 0) & (to_n < 0)
     den = lights.tri_area[a_i] * ln_dot_l
-    reci_sa = sq / jnp.where(area_ok, jnp.maximum(den, 1e-30), 1.0)
-    pdf_area = jnp.where(area_ok, reci_sa, 0.0)
+    pdf_area = jnp.where(area_ok, sq / jnp.where(
+        area_ok, jnp.maximum(den, 1e-30), 1.0), 0.0)
 
     # point light (lights_shared.h:224-233). NOTE: the reference shadows its
     # lightColor output here (uninitialized for point lights) — we return the
     # radiance, the obviously-intended behavior.
-    p_point = lights.point_pos[p_i]
-    l_rev = i_pos - p_point
-    pdf_point = jnp.where(dot(normalize(l_rev), n) < 0, dot(l_rev, l_rev), 0.0)
+    pp = g(lights.point_pos, p_i)
+    lrx, lry, lrz = ix - pp[0], iy - pp[1], iz - pp[2]
+    lrx_n, lry_n, lrz_n, sq_p = _normalize3(lrx, lry, lrz)
+    pdf_point = jnp.where(lrx_n * nx + lry_n * ny + lrz_n * nz < 0, sq_p, 0.0)
 
     # spot light (lights_shared.h:236-250)
-    p_spot = lights.spot_pos[s_i]
-    l_rev = i_pos - p_spot
-    sq = dot(l_rev, l_rev)
-    l_rev_n = normalize(l_rev)
-    dfall = (jnp.maximum(0.0, dot(l_rev_n, lights.spot_dir[s_i]))
-             - lights.spot_cos_outer[s_i]) / jnp.maximum(
-                 lights.spot_cos_inner[s_i] - lights.spot_cos_outer[s_i], 1e-6)
-    ln_dot_l = jnp.minimum(1.0, dfall)
-    spot_ok = (ln_dot_l > 0) & (dot(l_rev_n, n) < 0)
-    pdf_spot = jnp.where(
-        spot_ok, sq / jnp.where(spot_ok, jnp.maximum(ln_dot_l, 1e-30), 1.0), 0.0)
+    sp = g(lights.spot_pos, s_i)
+    sd = g(lights.spot_dir, s_i)
+    lrx, lry, lrz = ix - sp[0], iy - sp[1], iz - sp[2]
+    lrx_n, lry_n, lrz_n, sq_s = _normalize3(lrx, lry, lrz)
+    ci = lights.spot_cos_inner[s_i]
+    co = lights.spot_cos_outer[s_i]
+    dfall = (jnp.maximum(0.0, lrx_n * sd[0] + lry_n * sd[1] + lrz_n * sd[2])
+             - co) / jnp.maximum(ci - co, 1e-6)
+    ln_dot_l_s = jnp.minimum(1.0, dfall)
+    spot_ok = (ln_dot_l_s > 0) & (lrx_n * nx + lry_n * ny + lrz_n * nz < 0)
+    pdf_spot = jnp.where(spot_ok, sq_s / jnp.where(
+        spot_ok, jnp.maximum(ln_dot_l_s, 1e-30), 1.0), 0.0)
 
     # directional light (lights_shared.h:253-259)
-    p_dir = i_pos - DIR_LIGHT_DISTANCE * lights.dir_dir[d_i]
-    pdf_dir = jnp.where(dot(lights.dir_dir[d_i], n) < 0, 1.0, 0.0)
+    dd = g(lights.dir_dir, d_i)
+    pdx = ix - DIR_LIGHT_DISTANCE * dd[0]
+    pdy = iy - DIR_LIGHT_DISTANCE * dd[1]
+    pdz = iz - DIR_LIGHT_DISTANCE * dd[2]
+    pdf_dir = jnp.where(dd[0] * nx + dd[1] * ny + dd[2] * nz < 0, 1.0, 0.0)
 
-    sel3 = lambda m, a, b: jnp.where(m[:, None], a, b)
-    point = sel3(is_area, p_area,
-                 sel3(is_point, p_point, sel3(is_spot, p_spot, p_dir)))
-    light_pdf = jnp.where(is_area, pdf_area,
-                          jnp.where(is_point, pdf_point,
-                                    jnp.where(is_spot, pdf_spot, pdf_dir)))
-    color = sel3(is_area, lights.tri_radiance[a_i],
-                 sel3(is_point, lights.point_radiance[p_i],
-                      sel3(is_spot, lights.spot_radiance[s_i],
-                           lights.dir_radiance[d_i])))
+    def sel(m, a, b):
+        return jnp.where(m, a, b)
+
+    px = sel(is_area, pax, sel(is_point, pp[0], sel(is_spot, sp[0], pdx)))
+    py = sel(is_area, pay, sel(is_point, pp[1], sel(is_spot, sp[1], pdy)))
+    pz = sel(is_area, paz, sel(is_point, pp[2], sel(is_spot, sp[2], pdz)))
+    light_pdf = sel(is_area, pdf_area,
+                    sel(is_point, pdf_point, sel(is_spot, pdf_spot, pdf_dir)))
+
+    ca = g(lights.tri_radiance, a_i)
+    cp = g(lights.point_radiance, p_i)
+    cs = g(lights.spot_radiance, s_i)
+    cd = g(lights.dir_radiance, d_i)
+    col = [sel(is_area, ca[c], sel(is_point, cp[c], sel(is_spot, cs[c], cd[c])))
+           for c in range(3)]
+
     light_pdf = jnp.where(s > 0, light_pdf, 0.0)
     ltri = jnp.where(is_area, a_i, -1)
-    return dict(point=point, light_pdf=light_pdf, pick_prob=pick_prob,
-                color=color, ltri=ltri)
+    return dict(point=jnp.stack([px, py, pz], axis=-1),
+                light_pdf=light_pdf, pick_prob=pick_prob,
+                color=jnp.stack(col, axis=-1), ltri=ltri)

@@ -133,11 +133,24 @@ def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
     else:
         pixel_idx = slot.astype(jnp.int32)
     seed = rng_mod.raygen_seed(path_idx, jnp.asarray(sample_base, jnp.uint32))
+    sample_idx = (jnp.asarray(sample_base, jnp.uint32)
+                  + path_idx // jnp.uint32(w * h))
 
     seed, r0 = rng_mod.random_float(seed)
     seed, r1 = rng_mod.random_float(seed)
     seed, r2 = rng_mod.random_float(seed)
     seed, r3 = rng_mod.random_float(seed)
+    if config.blue_noise:
+        # camera AA/lens dims 0-3 for the first 256 spp (.optix.cu:72-79)
+        from lighthouse2_tpu.core import bluenoise as bn
+        mask = bn.device_mask()
+        px = pixel_idx % w
+        py = pixel_idx // w
+        use_bn = sample_idx < 256
+        r0 = jnp.where(use_bn, bn.sample(mask, px, py, sample_idx, 0), r0)
+        r1 = jnp.where(use_bn, bn.sample(mask, px, py, sample_idx, 1), r1)
+        r2 = jnp.where(use_bn, bn.sample(mask, px, py, sample_idx, 2), r2)
+        r3 = jnp.where(use_bn, bn.sample(mask, px, py, sample_idx, 3), r3)
 
     right = view.p2 - view.p1
     up = view.p3 - view.p1
@@ -190,6 +203,7 @@ def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
         n_diffuse=zf.astype(jnp.int32),
         alive=zf == 0.0,
         pixel=pixel_idx,
+        sample=sample_idx,
     )
 
 
@@ -211,19 +225,25 @@ def _pick_intersector(scene: DeviceScene, config: RenderConfig) -> str:
     return mode
 
 
-def _intersect(scene: DeviceScene, o, d, config: RenderConfig):
+def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None):
+    """Closest hit. `alive` masks dead wavefront lanes with tmax=0 so the
+    trace kernels skip them entirely (static-shape stream compaction)."""
     tris = scene.tris
     mode = _pick_intersector(scene, config)
+    t_max = BIG_T if alive is None else jnp.where(
+        jax.lax.stop_gradient(alive), BIG_T, 0.0)
     if mode == "cluster":
         from lighthouse2_tpu.render.kernels.trace import trace_cluster_bvh
-        t, prim, u, v = trace_cluster_bvh(o, d, scene.cbvh, BIG_T,
+        t, prim, u, v = trace_cluster_bvh(o, d, scene.cbvh, t_max,
                                           interpret=config.kernel_interpret)
     elif mode == "lockstep":
         t, prim, u, v = bvh_intersect(o, d, scene.bvh, tris.v0, tris.e1,
-                                      tris.e2)
+                                      tris.e2, t_max=t_max)
     else:
         t, prim, u, v = intersect_bruteforce(o, d, tris.v0, tris.e1, tris.e2,
                                              chunk=config.tri_chunk)
+        if alive is not None:
+            prim = jnp.where(alive, prim, -1)
     # differentiable refinement: recompute (t,u,v) from the winning triangle
     rt, ru, rv, ok = refine_hit(o, d, prim, tris.tri9)
     t = jnp.where(prim >= 0, rt, t)
@@ -281,22 +301,48 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
 
     def bounce(carry, li):
         paths, acc, cam_seed, stats = carry
+        n_alive = jnp.sum(paths["alive"].astype(jnp.int32))
         stats = dict(stats,
-                     extension_rays=stats["extension_rays"].at[li].set(
-                         jnp.sum(paths["alive"].astype(jnp.int32))))
-        t, prim, u, v = _intersect(scene, paths["origin"], paths["dir"], config)
-        paths, acc, cam_seed, shadow = shade_bounce(
-            scene, view, config, paths, acc, cam_seed, li, t, prim, u, v)
-        occ = _occluded(scene, shadow["o"], shadow["d"], shadow["tmax"], config)
-        acc, paths = apply_shadow(config, paths, acc, shadow, occ)
-        stats = dict(stats, shadow_rays=stats["shadow_rays"].at[li].set(
-            jnp.sum(shadow["conn_ok"].astype(jnp.int32))))
+                     extension_rays=stats["extension_rays"].at[li].set(n_alive))
+        paths, acc, cam_seed, n_conn = bounce_step(
+            scene, view, config, paths, acc, cam_seed, li)
+        stats = dict(stats, shadow_rays=stats["shadow_rays"].at[li].set(n_conn))
         return (paths, acc, cam_seed, stats), None
 
     (paths, acc, cam_seed, stats), _ = jax.lax.scan(
         bounce, (paths, acc, cam_seed, stats0),
         jnp.arange(config.max_path_length))
     return _finish_pass(config, paths, acc, stats, path_idx, cam_seed)
+
+
+def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li):
+    """One full bounce (trace + shade + occlude + apply), skipped via
+    `lax.cond` when every lane is dead — the bounce-level analog of the
+    reference terminating its loop when counters.extensionRays == 0
+    (rendercore.cpp:723-726). The dead branch still advances camRNGseed so
+    the sampling schedule is identical whether or not tail bounces run.
+    Returns (paths, acc, cam_seed, n_shadow_connections)."""
+
+    def live(carry):
+        paths, acc, cam_seed = carry
+        t, prim, u, v = _intersect(scene, paths["origin"], paths["dir"],
+                                   config, paths["alive"])
+        paths2, acc2, cam_seed2, shadow = shade_bounce(
+            scene, view, config, paths, acc, cam_seed, li, t, prim, u, v)
+        occ = _occluded(scene, shadow["o"], shadow["d"], shadow["tmax"],
+                        config)
+        acc2, paths2 = apply_shadow(config, paths2, acc2, shadow, occ)
+        n_conn = jnp.sum(shadow["conn_ok"].astype(jnp.int32))
+        return paths2, acc2, cam_seed2, n_conn
+
+    def dead(carry):
+        paths, acc, cam_seed = carry
+        cam_seed, _ = rng_mod.frame_r0(cam_seed, li + 1)
+        n_conn = jnp.sum(jnp.zeros_like(paths["alive"], jnp.int32))
+        return paths, acc, cam_seed, n_conn
+
+    return jax.lax.cond(jnp.any(paths["alive"]), live, dead,
+                        (paths, acc, cam_seed))
 
 
 def _finish_pass(config, paths, acc, stats, path_idx, cam_seed):
@@ -382,6 +428,14 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
     sd = get_shading_data(scene, d, t, prim, u, v, view.spread_angle,
                           consistent_normals=config.consistent_normals)
 
+    # alpha cutout → passthrough extension ray (pathtracer.h:107-118):
+    # keep D/throughput/pdf, move the origin past the surface, skip ALL
+    # shading at this vertex. Counts against max_path_length like the
+    # reference (it re-emits through the normal extension counter).
+    cutout = hit & sd.alpha_cutout
+    pass_ok = cutout & (path_length < config.max_path_length)
+    hit = hit & ~cutout
+
     # ---- implicit light hit (pathtracer.h:124-149) ---------------------
     ddotnl = -dot(d, sd.n_geom)
     lit = hit & sd.emissive & (ddotnl > 0)
@@ -423,9 +477,27 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
     throughput = _masked_div(throughput, bsdf_pdf, active)
     fn_flip = sd.n_shading * face_dir[:, None]
 
+    if config.blue_noise:
+        from lighthouse2_tpu.core import bluenoise as bn
+        bn_mask = bn.device_mask()
+        bn_px = paths["pixel"] % config.width
+        bn_py = paths["pixel"] // config.width
+        bn_dim0 = 4 * path_length
+
+        def bn_or(r, dim, cap):
+            use = paths["sample"] < cap
+            return jnp.where(use, bn.sample(bn_mask, bn_px, bn_py,
+                                            paths["sample"], bn_dim0 + dim), r)
+    else:
+        bn_or = lambda r, dim, cap: r
+
     # ---- NEE (pathtracer.h:165-204) ------------------------------------
     seed, r0 = rng_mod.random_float(seed)
     seed, r1 = rng_mod.random_float(seed)
+    # blue-noise NEE dims 4/5+4*pathLength for the first 2 spp
+    # (pathtracer.h:168-176)
+    r0 = bn_or(r0, 4, 2)
+    r1 = bn_or(r1, 5, 2)
     nee_mask = active & ~cur_spec
     ls = random_point_on_light(scene.lights, r0, r1, i_pos, fn_flip)
     l_vec = ls["point"] - i_pos
@@ -456,6 +528,10 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
         & (path_length < config.max_path_length)
     seed, r3 = rng_mod.random_float(seed)
     seed, r4 = rng_mod.random_float(seed)
+    # blue-noise BSDF dims 6/7+4*pathLength for the first 256 spp
+    # (pathtracer.h:210-217)
+    r3 = bn_or(r3, 6, 256)
+    r4 = bn_or(r4, 7, 256)
     smp = bsdf_mod.sample(sd, sd.n_shading, sd.n_geom, -d, t, r3, r4)
     ok_pdf = (smp["pdf"] >= EPSILON) & jnp.isfinite(smp["pdf"])
     new_spec = smp["specular"]
@@ -475,16 +551,24 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
     new_throughput = _fixnan(new_throughput)
     new_o = safe_origin(i_pos, smp["wi"], sd.n_geom * face_dir[:, None], geo_eps)
 
+    # passthrough lanes keep their original throughput (the pdf division is
+    # postponed to the next REAL vertex, matching the reference keeping T4)
+    pass_o = i_pos + geo_eps * d
     paths = dict(
         paths,
-        origin=jnp.where(extend[:, None], new_o, o),
+        origin=jnp.where(extend[:, None], new_o,
+                         jnp.where(pass_ok[:, None], pass_o, o)),
         dir=jnp.where(extend[:, None], smp["wi"], d),
-        throughput=jnp.where(extend[:, None], new_throughput, throughput),
-        bsdf_pdf=jnp.where(extend, smp["pdf"], jnp.ones_like(bsdf_pdf)),
+        throughput=jnp.where(extend[:, None], new_throughput,
+                             jnp.where(pass_ok[:, None], paths["throughput"],
+                                       throughput)),
+        bsdf_pdf=jnp.where(extend, smp["pdf"],
+                           jnp.where(pass_ok, bsdf_pdf,
+                                     jnp.ones_like(bsdf_pdf))),
         last_n=jnp.where(extend[:, None], fn_flip, paths["last_n"]),
         prev_specular=jnp.where(extend, new_spec, paths["prev_specular"]),
         n_diffuse=paths["n_diffuse"] + (extend & ~new_spec).astype(jnp.int32),
-        alive=extend,
+        alive=extend | pass_ok,
     )
     return paths, acc, cam_seed, shadow
 
@@ -540,8 +624,8 @@ def _stage_generate(view, sample_base, config):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _stage_trace(scene, o, d, config):
-    return _intersect(scene, o, d, config)
+def _stage_trace(scene, o, d, alive, config):
+    return _intersect(scene, o, d, config, alive)
 
 
 @functools.partial(jax.jit, static_argnames=("config",),
@@ -592,7 +676,7 @@ def render_pass_staged(scene: DeviceScene, view: ViewPyramid,
     conn_counts = []
     for li in range(config.max_path_length):
         t, prim, u, v = _stage_trace(scene, paths["origin"], paths["dir"],
-                                     config)
+                                     paths["alive"], config)
         paths, acc, cam_seed, shadow, n_alive, n_conn = _stage_shade(
             scene, view, paths, acc, cam_seed, jnp.int32(li), t, prim, u, v,
             config)
@@ -611,11 +695,50 @@ def render_pass_staged(scene: DeviceScene, view: ViewPyramid,
     return new_state, stats
 
 
+def trace_paths_unrolled(scene, view, config: RenderConfig, state: AccumState):
+    """The whole pass as ONE jittable function with the bounce loop unrolled
+    in Python (no lax.scan). Measured fastest on the axon TPU runtime:
+    155 ms vs 183 (scan) vs 187 (staged) on cornell 512², and XLA can fuse
+    across bounce boundaries."""
+    paths = generate_eye_rays(view, config, state.sample_count)
+    n = config.n_paths
+    acc = jnp.zeros((n, 4), jnp.float32)
+    if config.filter_enabled:
+        paths["acc_ind"] = jnp.zeros((n, 3), jnp.float32)
+        paths["g_albedo"] = jnp.ones((n, 3), jnp.float32)
+        paths["g_normal"] = jnp.zeros((n, 3), jnp.float32)
+        paths["g_depth"] = jnp.zeros((n,), jnp.float32)
+        paths["g_wpos"] = jnp.full((n, 3), 1e30, jnp.float32)
+    cam_seed = state.cam_seed
+    ext, conn = [], []
+    for li in range(config.max_path_length):
+        ext.append(jnp.sum(paths["alive"].astype(jnp.int32)))
+        paths, acc, cam_seed, n_conn = bounce_step(
+            scene, view, config, paths, acc, cam_seed, jnp.int32(li))
+        conn.append(n_conn)
+    stats = dict(extension_rays=jnp.stack(ext), shadow_rays=jnp.stack(conn))
+    return _finish_pass(config, paths, acc, stats, None, cam_seed)
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("state",))
+def render_pass_unrolled(scene, view, state, config):
+    acc_delta, cam_seed, stats = trace_paths_unrolled(scene, view, config,
+                                                      state)
+    new_state = AccumState(
+        accumulator=state.accumulator + acc_delta,
+        sample_count=state.sample_count + config.spp_per_pass,
+        cam_seed=cam_seed,
+    )
+    return new_state, stats
+
+
 def render_pass_auto(scene, view, state, config):
-    """Pick the fused (CPU / virtual-device) or staged (axon TPU) executor."""
+    """Pick the executor: fused scan jit on CPU / virtual devices (fast
+    compile), unrolled one-jit on TPU (fast execution)."""
     if jax.default_backend() in ("cpu",):
         return render_pass_jit(scene, view, state, config)
-    return render_pass_staged(scene, view, state, config)
+    return render_pass_unrolled(scene, view, state, config)
 
 
 def finalize(state: AccumState):

@@ -120,15 +120,16 @@ class DeviceSky:
 class DeviceTextures:
     """Pooled texel storage (the analog of the reference's 3 texel pools,
     CoreTexDesc common_classes.h:240-269). All texels live in one flat
-    [P,4] float32 pool; per-texture descriptors give MIP offsets/sizes.
+    component-major [4,P] float32 pool (rays gather along the minor axis —
+    TPU-fast layout); per-texture descriptors give MIP offsets/sizes.
     desc layout: [NTEX, MIPLEVELS, 3] int32 = (offset, width, height)."""
-    pool: jnp.ndarray  # [P,4] float32 rgba, linear
+    pool: jnp.ndarray  # [4,P] float32 rgba, linear, component-major
     desc: jnp.ndarray  # [NTEX, MIPS, 3] int32
 
 
 def empty_textures(mips: int = 5) -> DeviceTextures:
     return DeviceTextures(
-        pool=jnp.zeros((1, 4), jnp.float32),
+        pool=jnp.zeros((4, 1), jnp.float32),
         desc=jnp.zeros((1, mips, 3), jnp.int32),
     )
 

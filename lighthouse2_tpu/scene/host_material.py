@@ -44,6 +44,39 @@ class HostMaterial:
     def replace(self, **kw) -> "HostMaterial":
         return dataclasses.replace(self, **kw)
 
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["color"] = list(d["color"])
+        d["absorption"] = list(d["absorption"])
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "HostMaterial":
+        known = {f.name for f in dataclasses.fields(HostMaterial)}
+        kw = {k: v for k, v in d.items() if k in known}
+        if "color" in kw:
+            kw["color"] = tuple(kw["color"])
+        if "absorption" in kw:
+            kw["absorption"] = tuple(kw["absorption"])
+        return HostMaterial(**kw)
+
+
+def serialize_materials(mats: list, path: str) -> None:
+    """Material JSON save — the analog of HostScene::SerializeMaterials
+    (host_scene.cpp:60-104, XML there; JSON here, same per-material fields)."""
+    import json
+    with open(path, "w") as fh:
+        json.dump({"materials": [m.to_dict() for m in mats]}, fh, indent=2)
+
+
+def deserialize_materials(path: str) -> list:
+    """Material JSON load (host_scene.cpp:107-163 analog). Returns a list of
+    HostMaterial; callers match them into the scene by name."""
+    import json
+    with open(path) as fh:
+        d = json.load(fh)
+    return [HostMaterial.from_dict(m) for m in d.get("materials", [])]
+
 
 def materials_to_numpy(mats: list) -> dict:
     """Stack a material list into SoA numpy arrays for DeviceMaterials."""

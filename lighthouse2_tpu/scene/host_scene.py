@@ -102,6 +102,25 @@ class HostScene:
                 return i
         return -1
 
+    def serialize_materials(self, path) -> None:
+        """Save all materials as JSON (host_scene.cpp:60-104 analog)."""
+        from lighthouse2_tpu.scene.host_material import serialize_materials
+        serialize_materials(self.materials, path)
+
+    def deserialize_materials(self, path) -> int:
+        """Load materials from JSON, matching into the scene BY NAME like the
+        reference (host_scene.cpp:107-163). Returns the number matched."""
+        from lighthouse2_tpu.scene.host_material import deserialize_materials
+        n = 0
+        for m in deserialize_materials(path):
+            i = self.find_material(m.name)
+            if i >= 0:
+                self.materials[i] = m
+                n += 1
+        if n:
+            self.dirty = True
+        return n
+
     def add_mesh(self, mesh: HostMesh) -> int:
         self.meshes.append(mesh)
         self.dirty = True

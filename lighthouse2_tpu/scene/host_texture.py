@@ -84,4 +84,5 @@ def build_texture_pool(textures: list):
             chunks.append(mip.reshape(-1, 4))
             offset += w * h
     pool = np.concatenate(chunks, 0) if chunks else np.zeros((1, 4), np.float32)
-    return DeviceTextures(pool=jnp.asarray(pool), desc=jnp.asarray(desc))
+    # component-major [4,P] (TPU gather layout; see render/textures.py)
+    return DeviceTextures(pool=jnp.asarray(pool.T.copy()), desc=jnp.asarray(desc))

@@ -186,7 +186,7 @@ def test_texture_mips_and_pool():
     np.testing.assert_allclose(t.mips[1].mean(), t.mips[0].mean(), atol=1e-3)
     pool = build_texture_pool([t])
     assert int(pool.desc[0, 0, 1]) == 16
-    assert pool.pool.shape[0] == 16 * 16 + 8 * 8 + 4 * 4 + 2 * 2 + 1
+    assert pool.pool.shape[1] == 16 * 16 + 8 * 8 + 4 * 4 + 2 * 2 + 1
 
 
 def test_texture_fetch_bilinear():

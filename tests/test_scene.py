@@ -147,3 +147,26 @@ def test_remove_node():
     assert len(scene.flatten_instances()) == 2
     scene.remove_node(nid)
     assert len(scene.flatten_instances()) == 1
+
+
+def test_material_serde_roundtrip(tmp_path):
+    """Material JSON save/load matched by name (host_scene.cpp:60-163 analog)."""
+    from lighthouse2_tpu.scene.host_scene import HostScene
+    s = HostScene()
+    s.add_material(name="a", color=(0.1, 0.2, 0.3), roughness=0.4,
+                   metallic=0.5, eta=1.33, transmission=0.7)
+    s.add_material(name="b", color=(2.0, 2.0, 2.0))
+    p = str(tmp_path / "mats.json")
+    s.serialize_materials(p)
+
+    s2 = HostScene()
+    s2.add_material(name="b", color=(0.0, 0.0, 0.0))
+    s2.add_material(name="a", color=(0.9, 0.9, 0.9))
+    s2.add_material(name="c", color=(0.5, 0.5, 0.5))
+    assert s2.deserialize_materials(p) == 2
+    a = s2.materials[s2.find_material("a")]
+    assert a.color == (0.1, 0.2, 0.3)
+    assert abs(a.roughness - 0.4) < 1e-6 and abs(a.eta - 1.33) < 1e-6
+    b = s2.materials[s2.find_material("b")]
+    assert b.is_emissive()
+    assert s2.materials[s2.find_material("c")].color == (0.5, 0.5, 0.5)
