@@ -72,18 +72,28 @@ class FilteredWavefrontCore(RenderCore):
         self.filter_state = None
         self.taa_state = None
         self.image = None
+        self.prev_view = None     # previous frame's (jittered) ViewPyramid
+        self.frame_idx = 0
 
     def on_target_changed(self):
         self.state = self.filter_state = self.taa_state = None
+        self.prev_view = None
+        self.frame_idx = 0
 
     def render(self, device_scene, view, converge: bool = True) -> dict:
         from lighthouse2_tpu.render.filter import (
-            FilterState, TAAState, svgf_filter, taa, unsharpen)
+            FilterState, TAAState, svgf_filter, taa, unsharpen, jittered_view)
         import jax.numpy as jnp
         h, w = self.config.height, self.config.width
-        if self.filter_state is None or not converge:
+        if self.filter_state is None:
+            # NOTE: converge=False (camera moved) does NOT reset history —
+            # motion-vector reprojection + consistency gating handle it
+            # (Optix7Filter keeps its history across camera motion too).
             self.filter_state = FilterState.make(h, w)
             self.taa_state = TAAState.make(h, w)
+        if self.config.taa_enabled:
+            # 4-phase Halton subpixel jitter (rendercore.cpp:734-743)
+            view, _ = jittered_view(view, self.frame_idx, w, h)
         t0 = time.perf_counter()
         state = AccumState.make(self.config)   # fresh accumulator every frame
         state, stats = render_pass_auto(device_scene, view, state, self.config)
@@ -92,14 +102,20 @@ class FilteredWavefrontCore(RenderCore):
         spp = max(1, self.config.spp_per_pass)
         direct = img(state.accumulator[:, :3]) / spp
         indirect = img(aux["indirect"]) / spp
+        world_pos = img(aux["world_pos"])
         color, self.filter_state = svgf_filter(
             direct, indirect, img(aux["albedo"]), img(aux["normal"]),
-            img(aux["depth"]), img(aux["world_pos"]), self.filter_state,
+            img(aux["depth"]), world_pos, self.filter_state,
             direct_clamp=self.config.clamp_direct,
-            indirect_clamp=self.config.clamp_indirect)
+            indirect_clamp=self.config.clamp_indirect,
+            prev_view=self.prev_view)
         if self.config.taa_enabled:
-            color, self.taa_state = taa(color, self.taa_state)
+            color, self.taa_state = taa(color, self.taa_state,
+                                        world_pos=world_pos,
+                                        prev_view=self.prev_view)
             color = unsharpen(color)
+        self.prev_view = view
+        self.frame_idx += 1
         self.image = np.asarray(color)
         jax.block_until_ready(color)
         wall = time.perf_counter() - t0

@@ -10,9 +10,13 @@ Reference pipeline per frame (rendercore.cpp:828-862):
 
 TPU-native re-design: every kernel becomes shifted-array stencil math over
 [H,W] images (jnp.pad + static slices → XLA fuses the 21-tap à-trous into
-one pass); history reprojection currently supports the static-camera path
-(motion = identity) with world-position-consistency gating — moving-camera
-reprojection is a TODO hook.
+one pass). History reprojection supports a MOVING camera: primary-hit world
+positions are projected into the previous frame's ViewPyramid
+(`project_to_view`) and history buffers are fetched with consistency-gated
+bilinear taps (`reproject_history` — finalize_shared.h:102-199 prevPixelPos +
+per-tap world-pos gating); pass `prev_view=None` for the cheaper static path.
+Camera jitter for TAA uses the reference's 4-phase Halton offsets
+(`jittered_view`, Optix7Filter/rendercore.cpp:734-743).
 
 All state lives in `FilterState` (the prev* ping-pong buffers of
 rendercore.cpp:845-859).
@@ -40,6 +44,107 @@ class FilterState:
             world_pos=jnp.full((h, w, 3), 1e30, jnp.float32),
             history=jnp.zeros((h, w), jnp.int32),
         )
+
+
+# 4-phase Halton(2,3) subpixel offsets (Optix7Filter/rendercore.cpp:734-743)
+_HALTON4 = ((0.5, 1.0 / 3.0), (0.25, 2.0 / 3.0),
+            (0.75, 1.0 / 9.0), (0.125, 4.0 / 9.0))
+
+
+def jittered_view(view, frame_idx: int, w: int, h: int):
+    """Shift the image plane by a subpixel Halton offset for TAA.
+
+    Returns (view', (jx, jy)) with jx/jy in [-0.5, 0.5) pixels."""
+    jx, jy = _HALTON4[frame_idx % 4]
+    jx, jy = jx - 0.5, jy - 0.5
+    right = (view.p2 - view.p1) * (1.0 / w)
+    down = (view.p3 - view.p1) * (1.0 / h)
+    off = jx * right + jy * down
+    return view.replace(p1=view.p1 + off, p2=view.p2 + off,
+                        p3=view.p3 + off), (jx, jy)
+
+
+def project_to_view(world_pos, view, w: int, h: int):
+    """Screen coordinates of world points in a (previous) ViewPyramid —
+    the motion-vector source. Inverse of the eye-ray mapping in
+    wavefront.generate_eye_rays (pinhole; DOF/jitter ignored on purpose —
+    the consistency gate absorbs the residual).
+
+    world_pos [...,3] → (px, py, valid) with px/py in pixel units."""
+    right = view.p2 - view.p1
+    down = view.p3 - view.p1
+    n = jnp.cross(right, down)
+    d = world_pos - view.pos
+    denom = jnp.einsum("...i,i->...", d, n)
+    num = jnp.dot(view.p1 - view.pos, n)
+    t = num / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    q = view.pos + t[..., None] * d - view.p1
+    u = jnp.einsum("...i,i->...", q, right) / jnp.dot(right, right)
+    v = jnp.einsum("...i,i->...", q, down) / jnp.dot(down, down)
+    px = u * w - 0.5
+    py = v * h - 0.5
+    valid = (t > 0) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    return px, py, valid
+
+
+def _bilinear_taps(px, py, w, h):
+    """4 integer taps + bilinear weights for fractional pixel coords."""
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    out = []
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            xx = x0 + dx
+            yy = y0 + dy
+            inb = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+            idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            out.append((idx, wx * wy * inb))
+    return out
+
+
+def reproject_history(state: "FilterState", world_pos, normal, allowed,
+                      prev_view):
+    """Fetch history at the previous frame's pixel positions with
+    consistency-gated bilinear taps (finalize_shared.h:102-199): a tap only
+    contributes if its stored world position lies on the current surface's
+    tangent plane (bilinear taps are NEIGHBORING pixels of the same surface,
+    so a 3D point-distance test would reject them; the plane test is the
+    reference's depth-consistency check expressed in world space).
+
+    Returns (moments, shading, history, consistent) — consistent=False marks
+    disocclusions (no valid tap survived)."""
+    h, w = world_pos.shape[:2]
+    px, py, valid = project_to_view(world_pos, prev_view, w, h)
+    mom = state.moments.reshape(h * w, -1)
+    sha = state.shading.reshape(h * w, -1)
+    wp = state.world_pos.reshape(h * w, 3)
+    his = state.history.reshape(h * w).astype(jnp.float32)
+
+    mom_acc = jnp.zeros_like(state.moments)
+    sha_acc = jnp.zeros_like(state.shading)
+    his_acc = jnp.zeros(world_pos.shape[:2], jnp.float32)
+    w_acc = jnp.zeros(world_pos.shape[:2], jnp.float32)
+    for idx, wgt in _bilinear_taps(px, py, w, h):
+        twp = jnp.take(wp, idx, axis=0)
+        dvec = twp - world_pos
+        plane_d = jnp.abs(jnp.sum(dvec * normal, -1))
+        # also bound the in-plane distance: taps must be nearby surface
+        # points (a few pixel footprints), not a far-away coplanar wall
+        ok = (plane_d < allowed) & (
+            jnp.linalg.norm(dvec, axis=-1) < 64.0 * allowed)
+        tw = wgt * ok * valid
+        mom_acc = mom_acc + jnp.take(mom, idx, axis=0) * tw[..., None]
+        sha_acc = sha_acc + jnp.take(sha, idx, axis=0) * tw[..., None]
+        his_acc = his_acc + jnp.take(his, idx, axis=0) * tw
+        w_acc = w_acc + tw
+    consistent = w_acc > 0.05
+    inv = 1.0 / jnp.maximum(w_acc, 1e-6)
+    return (mom_acc * inv[..., None], sha_acc * inv[..., None],
+            (his_acc * inv).astype(jnp.int32), consistent)
 
 
 def _luminance(v):
@@ -154,12 +259,14 @@ def _neighborhood_clamp(img_ycocg_center, a_direct, a_indirect, prev_d, prev_i):
 
 def svgf_filter(direct, indirect, albedo, normal, depth, world_pos,
                 state: FilterState, direct_clamp=15.0, indirect_clamp=2.5,
-                n_phases=3):
-    """Full SVGF frame (static-camera reprojection).
+                n_phases=3, prev_view=None):
+    """Full SVGF frame.
 
     Inputs are per-pixel [H,W,3|1] images: raw direct/indirect radiance
-    (NOT albedo-demodulated), primary-hit features. Returns
-    (filtered_color [H,W,3], new FilterState).
+    (NOT albedo-demodulated), primary-hit features. `prev_view` is the
+    PREVIOUS frame's ViewPyramid: when given, history is motion-vector
+    reprojected (moving camera); when None the camera is assumed static.
+    Returns (filtered_color [H,W,3], new FilterState).
     """
     # --- prepare (finalize_shared.h:102-199) -------------------------------
     reci_albedo = 1.0 / jnp.maximum(albedo, 1e-4)
@@ -172,11 +279,17 @@ def svgf_filter(direct, indirect, albedo, normal, depth, world_pos,
     ddy = jnp.abs(depth - _shift(depth, 1, 0))
     ddxy = jnp.stack([ddx, ddy], -1)
     allowed = jnp.maximum(0.05, ddx + ddy)
-    wp_dist = jnp.linalg.norm(world_pos - state.world_pos, axis=-1)
-    consistent = wp_dist < allowed
+    if prev_view is not None:
+        prev_moments, prev_shading, prev_hist, consistent = reproject_history(
+            state, world_pos, normal, allowed, prev_view)
+    else:
+        prev_moments, prev_shading = state.moments, state.shading
+        prev_hist = state.history
+        wp_dist = jnp.linalg.norm(world_pos - state.world_pos, axis=-1)
+        consistent = wp_dist < allowed
     moments = jnp.where(consistent[..., None],
-                        0.2 * lum + 0.8 * state.moments, lum)
-    history = jnp.where(consistent, jnp.minimum(state.history + 1, 15), 0)
+                        0.2 * lum + 0.8 * prev_moments, lum)
+    history = jnp.where(consistent, jnp.minimum(prev_hist + 1, 15), 0)
 
     # --- à-trous phases (rendercore.cpp:838-842) ---------------------------
     d_f, i_f = d_l, i_l
@@ -185,8 +298,8 @@ def svgf_filter(direct, indirect, albedo, normal, depth, world_pos,
                                    moments, history, phase)
         if phase == 1:
             # temporal blend with neighborhood clamp (finalize_shared.h:298-346)
-            prev_d = state.shading[..., :3]
-            prev_i = state.shading[..., 3:]
+            prev_d = prev_shading[..., :3]
+            prev_i = prev_shading[..., 3:]
             cd, ci = _neighborhood_clamp(None, d_f, i_f, prev_d, prev_i)
             d_new = jnp.where(consistent[..., None],
                               0.1 * d_new + 0.9 * cd, d_new)
@@ -217,8 +330,10 @@ class TAAState:
         return TAAState(prev=jnp.zeros((h, w, 3), jnp.float32))
 
 
-def taa(color, state: TAAState, blend=0.9):
-    """Variance-clipped temporal AA (static camera)."""
+def taa(color, state: TAAState, blend=0.9, world_pos=None, prev_view=None):
+    """Variance-clipped temporal AA. With `world_pos` + `prev_view`, the
+    history sample is motion-vector reprojected (bilinear); the YCoCg
+    variance clip absorbs residual mismatch, as in the reference."""
     s = _rgb_to_ycocg(color)
     s2 = s * s
     for dy in (-1, 0, 1):
@@ -232,7 +347,20 @@ def taa(color, state: TAAState, blend=0.9):
     sig = jnp.sqrt(jnp.maximum(s2 / 9.0 - mu * mu, 0.0))
     lo = mu - 1.0 * sig
     hi = mu + 1.0 * sig
-    prev = jnp.clip(_rgb_to_ycocg(state.prev), lo, hi)
+    hist = state.prev
+    if prev_view is not None and world_pos is not None:
+        h, w = color.shape[:2]
+        px, py, valid = project_to_view(world_pos, prev_view, w, h)
+        pf = state.prev.reshape(h * w, 3)
+        acc = jnp.zeros_like(color)
+        wa = jnp.zeros(color.shape[:2], jnp.float32)
+        for idx, wgt in _bilinear_taps(px, py, w, h):
+            tw = wgt * valid
+            acc = acc + jnp.take(pf, idx, axis=0) * tw[..., None]
+            wa = wa + tw
+        hist = jnp.where((wa > 1e-4)[..., None],
+                         acc / jnp.maximum(wa, 1e-6)[..., None], color)
+    prev = jnp.clip(_rgb_to_ycocg(hist), lo, hi)
     out = _ycocg_to_rgb((1.0 - blend) * _rgb_to_ycocg(color) + blend * prev)
     return out, TAAState(prev=out)
 

@@ -86,6 +86,10 @@ class HostScene:
         self.textures: list = []             # HostTexture list
         self.dirty = True
         self._cached = None
+        self._blas_cache: dict = {}          # mesh_id -> (pose_fp, flat blas)
+        # acceleration-structure build counters (CoreStats.bvhBuildTime
+        # analog; lets tests assert static BLASes aren't rebuilt)
+        self.build_stats = {"blas_builds": 0, "tlas_composes": 0}
 
     # -- construction API (RenderAPI analogs, render_api.h:28-69) ------------
 
@@ -140,6 +144,14 @@ class HostScene:
     def add_instance(self, mesh_id: int, transform=None) -> int:
         """host_scene.cpp:399 analog: a root node referencing a mesh."""
         return self.add_node(HostNode(mesh_id=mesh_id, transform=transform))
+
+    def set_node_transform(self, node_id: int, transform) -> None:
+        """Move an instance (render_api.h SetNodeTransform analog). With the
+        two-level BVH this costs a TLAS re-compose, not a BLAS rebuild."""
+        n = self.nodes[node_id]
+        n.matrix = np.asarray(transform, np.float32)
+        n.has_trs = False
+        self.dirty = True
 
     def remove_node(self, node_id: int):
         """host_scene.cpp:434 analog (keeps pool indices stable)."""
@@ -220,12 +232,31 @@ class HostScene:
             posed = _apply_skin(posed, self, node)
         return posed
 
+    def _mesh_blas(self, mesh_id: int, posed: HostMesh) -> dict:
+        """Cached mesh-space SAH BLAS (core_mesh.cpp:36-133 GAS analog).
+
+        Static meshes build once and persist across transform changes /
+        TLAS re-composition. Posed (skinned/morphed) copies are keyed by a
+        vertex-data fingerprint so a new pose rebuilds only that mesh."""
+        from lighthouse2_tpu.bvh.builder import build_sah_bvh
+        fp = None
+        if posed is not self.meshes[mesh_id]:
+            fp = hash(posed.v0.tobytes()) ^ hash(posed.v1.tobytes())
+        entry = self._blas_cache.get(mesh_id)
+        if entry is not None and entry[0] == fp:
+            return entry[1]
+        blas = build_sah_bvh(posed.v0, posed.v1, posed.v2)
+        self._blas_cache[mesh_id] = (fp, blas)
+        self.build_stats["blas_builds"] += 1
+        return blas
+
     # -- device sync (rendersystem.cpp:214 analog) ---------------------------
 
-    def sync(self, rebuild_bvh=True) -> DeviceScene:
+    def sync(self, rebuild_bvh=True, two_level=True) -> DeviceScene:
         if not self.dirty and self._cached is not None:
             return self._cached
         instances = self.flatten_instances()
+        blas_entries = None
         if not instances:
             # keep shapes non-empty: one degenerate triangle
             z = np.zeros((1, 3), np.float32)
@@ -234,9 +265,15 @@ class HostScene:
                          alpha=z, mat=np.zeros(1, np.int32))
         else:
             parts = []
+            blas_entries = []
+            tri_off = 0
             for mesh_id, world_m, node in instances:
                 mesh = self._posed_mesh(self.meshes[mesh_id], node)
                 parts.append(mesh.transformed(world_m))
+                if rebuild_bvh and two_level:
+                    blas_entries.append(
+                        (self._mesh_blas(mesh_id, mesh), world_m, tri_off))
+                tri_off += mesh.n_tris
             cat = lambda f: np.concatenate([getattr(p, f) for p in parts], 0)
             world = dict(
                 v0=cat("v0"), v1=cat("v1"), v2=cat("v2"),
@@ -287,7 +324,16 @@ class HostScene:
             from lighthouse2_tpu.bvh.builder import build_sah_bvh
             from lighthouse2_tpu.bvh.traverse import device_bvh_from_flat
             from lighthouse2_tpu.bvh.clusters import cut_clusters
-            flat = build_sah_bvh(world["v0"], world["v1"], world["v2"])
+            if blas_entries:
+                # two-level path: TLAS over cached per-mesh BLASes — a node
+                # transform / animation re-composes boxes in O(nodes) instead
+                # of re-running SAH over every world triangle (bvh/tlas.py;
+                # ref rendercore_optix7/rendercore.cpp:387-428)
+                from lighthouse2_tpu.bvh.tlas import compose_two_level
+                flat = compose_two_level(blas_entries)
+                self.build_stats["tlas_composes"] += 1
+            else:
+                flat = build_sah_bvh(world["v0"], world["v1"], world["v2"])
             bvh = device_bvh_from_flat(flat, world["v0"], world["v1"],
                                        world["v2"])
             # the pallas packet-traversal layout (render/kernels/trace.py);
