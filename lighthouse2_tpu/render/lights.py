@@ -250,3 +250,92 @@ def random_point_on_light(lights: DeviceLights, r0, r1, i_pos, n):
     return dict(point=jnp.stack([px, py, pz], axis=-1),
                 light_pdf=light_pdf, pick_prob=pick_prob,
                 color=jnp.stack(col, axis=-1), ltri=ltri)
+
+
+# ---------------------------------------------------------------------------
+# Emission sampling for bidirectional transport (Sample_Le analog,
+# lights_shared.h:267-409)
+# ---------------------------------------------------------------------------
+
+def sample_emission(lights: DeviceLights, r0, r1, r2, r3):
+    """Sample a light-subpath origin + emission direction.
+
+    Light pick is energy-proportional over area + point lights (the
+    reference's BDPT likewise drives its light subpaths from the tri-light
+    tables; spot/dir lights still contribute through the s<=1 strategies of
+    the eye walk). Returns a dict of [N] / [N,3] arrays:
+
+      origin, dir        light-subpath ray (origin offset is the caller's job)
+      normal             emitter surface normal (dir for point: = dir)
+      radiance           Le along `dir` (area: constant diffuse emitter;
+                         point: intensity)
+      pdf_pos            area-measure origin pdf x pick prob (delta lights:
+                         pick prob only)
+      pdf_dir            solid-angle emission pdf (area: cos/pi; point: 1/4pi)
+      ltri               picked area-light slot, or -1 (delta light)
+      delta_pos          bool: origin is a delta distribution (point light)
+    """
+    from lighthouse2_tpu.core.sampling import cosine_hemisphere
+    from lighthouse2_tpu.core.geometry import tangent_to_world, normalize as _nrm
+    lt = lights.tri_v0.shape[0]
+    lp = lights.point_pos.shape[0]
+    n = r0.shape[0]
+
+    # energy-proportional pick over [area..., point...]
+    en = jnp.concatenate([
+        lights.tri_energy * (jnp.arange(lt) < lights.n_tri),
+        lights.point_energy * (jnp.arange(lp) < lights.n_point)], 0)  # [lt+lp]
+    tot = jnp.sum(en)
+    cdf = jnp.cumsum(en)
+    pick = jnp.sum((cdf[:, None] < (r0 * tot)[None, :]).astype(jnp.int32), 0)
+    pick = jnp.clip(pick, 0, lt + lp - 1)
+    pick_prob = en[pick] / jnp.where(tot > 0, tot, 1.0)
+
+    is_area = pick < lt
+    a_i = jnp.clip(pick, 0, lt - 1)
+    p_i = jnp.clip(pick - lt, 0, lp - 1)
+
+    # area: uniform point on the triangle, cosine emission about its normal
+    bu, bv = random_barycentrics(r1)
+    bw = 1.0 - bu - bv
+    av0 = lights.tri_v0[a_i]
+    av1 = lights.tri_v1[a_i]
+    av2 = lights.tri_v2[a_i]
+    apos = bu[:, None] * av0 + bv[:, None] * av1 + bw[:, None] * av2
+    an = lights.tri_n[a_i]
+    adir = _nrm(tangent_to_world(cosine_hemisphere(r2, r3), an))
+    acos = jnp.maximum(dot(adir, an), 0.0)
+    apdf_dir = acos * (1.0 / jnp.pi)
+    apdf_pos = pick_prob / jnp.maximum(lights.tri_area[a_i], 1e-12)
+
+    # point: uniform sphere
+    z = 1.0 - 2.0 * r2
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * r3
+    pdir = jnp.stack([rr * jnp.cos(phi), rr * jnp.sin(phi), z], -1)
+    ppos = lights.point_pos[p_i]
+
+    area = is_area[:, None]
+    return dict(
+        origin=jnp.where(area, apos, ppos),
+        dir=jnp.where(area, adir, pdir),
+        normal=jnp.where(area, an, pdir),
+        radiance=jnp.where(area, lights.tri_radiance[a_i],
+                           lights.point_radiance[p_i]),
+        pdf_pos=jnp.where(is_area, apdf_pos, pick_prob),
+        pdf_dir=jnp.where(is_area, apdf_dir, 1.0 / (4.0 * jnp.pi)),
+        ltri=jnp.where(is_area, a_i.astype(jnp.int32), -1),
+        delta_pos=~is_area,
+        pick_prob=pick_prob,
+    )
+
+
+def emission_pick_prob(lights: DeviceLights, ltri):
+    """pick prob of area light `ltri` under sample_emission's energy pick
+    (needed by BDPT MIS for the s'=0 <-> s'>=1 strategy ratios)."""
+    lt = lights.tri_v0.shape[0]
+    lp = lights.point_pos.shape[0]
+    tot = (jnp.sum(lights.tri_energy * (jnp.arange(lt) < lights.n_tri))
+           + jnp.sum(lights.point_energy * (jnp.arange(lp) < lights.n_point)))
+    e = lights.tri_energy[jnp.clip(ltri, 0, lt - 1)]
+    return jnp.where(ltri >= 0, e / jnp.where(tot > 0, tot, 1.0), 0.0)
