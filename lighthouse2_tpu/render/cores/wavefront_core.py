@@ -135,6 +135,39 @@ class FilteredWavefrontCore(RenderCore):
         return self.image
 
 
+@register_core("bdpt")
+class BDPTCore(WavefrontCore):
+    """Bidirectional path tracer (RenderCore_OptixPrime_BDPT analog,
+    render/bdpt.py). Validation-grade settings: no russian roulette, no
+    firefly clamp (like the reference's conservative BDPT core)."""
+
+    def __init__(self, config: RenderConfig):
+        config = dataclasses.replace(config, russian_roulette=False,
+                                     clamp_fireflies=False)
+        super().__init__(config)
+
+    def render(self, device_scene, view, converge: bool = True) -> dict:
+        from lighthouse2_tpu.render.bdpt import render_pass_bdpt_jit
+        if self.state is None or not converge:
+            self.state = AccumState.make(self.config)
+        t0 = time.perf_counter()
+        self.state, stats = render_pass_bdpt_jit(
+            device_scene, view, self.state, self.config)
+        jax.block_until_ready(self.state.accumulator)
+        wall = time.perf_counter() - t0
+        ext = int(stats["total_extension"])
+        shad = int(stats["total_shadow"])
+        self.stats = {
+            "render_time": wall,
+            "primary_rays": int(stats["primary_rays"]),
+            "extension_rays": ext, "shadow_rays": shad,
+            "total_rays": ext + shad,
+            "mrays_per_s": (ext + shad) / max(wall, 1e-9) / 1e6,
+            "spp": int(self.state.sample_count),
+        }
+        return self.stats
+
+
 @register_core("primeref")
 class PrimeRefCore(WavefrontCore):
     def __init__(self, config: RenderConfig):

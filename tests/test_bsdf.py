@@ -23,6 +23,7 @@ def make_sd(n, **kw):
         face_dir=jnp.ones(n), emissive=jnp.zeros(n, bool),
         ltri=jnp.full(n, -1, jnp.int32), area=jnp.ones(n),
         uv=jnp.zeros((n, 2)), lod=jnp.zeros(n),
+        alpha_cutout=jnp.zeros(n, bool),
     )
     d.update({k: jnp.asarray(v) for k, v in kw.items()})
     return ShadingData(**d)
