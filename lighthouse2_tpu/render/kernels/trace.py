@@ -246,8 +246,13 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
 
     Returns (t, prim, u, v) with prim = -1 on miss, or occluded bool [N]
     for anyhit. Non-differentiable (pair with bvh.traverse.refine_hit)."""
+    # EVERY input is gradient-stopped: the kernel has no JVP rule, and
+    # traversal is discrete anyway — gradients reach vertices through the
+    # differentiable re-intersection in bvh.traverse.refine_hit.
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    t_max = jax.lax.stop_gradient(t_max)
+    bvh = jax.tree_util.tree_map(jax.lax.stop_gradient, bvh)
     n = o.shape[0]
     n_blocks = -(-n // BLOCK)
     chunk_blocks = min(CHUNK_BLOCKS, n_blocks)
