@@ -1,29 +1,35 @@
-"""Cluster BVH — the TPU-shaped acceleration structure.
+"""Cluster BVH — the TPU-shaped acceleration structure (round-3 MXU layout).
 
 The reference traverses a per-ray recursive BVH2 with a stack
 (RenderCore_Bart/bvh.cpp:258-302). Per-ray pointer chasing does not map to
 TPU vector units, so the structure is reorganized for *speculative packet
 traversal* (see render/kernels/trace.py):
 
-  - triangles are grouped into CLUSTERS cut from maximal SAH-subtree roots,
-    so a cluster is spatially tight. A cluster spans `tiles_per_cluster`
-    dense [16,128] f32 tiles (128 triangles per tile, one vector lane each);
   - the tree ABOVE the cluster roots (the "top tree") is flattened in DFS
     order with SKIP LINKS: a ray block either descends (node+1) or jumps the
     whole subtree (skip) — no stack, one scalar node pointer per block;
-  - top-tree nodes are scalar-prefetched into SMEM (hard capacity limit —
-    measured <64KB on v5e — caps the top tree at MAX_TOP_NODES; the cut
-    threshold doubles until the pruned tree fits), cluster tiles live in
-    VMEM and are DMA'd to SMEM scratch per visit.
+    top-tree nodes are scalar-prefetched into SMEM;
+  - triangles are grouped into CLUSTERS cut from maximal SAH-subtree roots
+    (spatially tight). Each 128-triangle tile is stored TWICE:
+
+    1. an MXU intersection matrix `bmat` [8, 6*128]: each triangle is a
+       PLANE + BARYCENTRIC linear form (t = (d0 - O·N)/(D·N), u = Gu·P + cu,
+       v = Gv·P + cv with N = e1×e2, Gu = (e2×N)/|N|², Gv = (N×e1)/|N|²).
+       Intersecting 1024 rays against 128 triangles is then ONE
+       dot_general([8,768], [8,1024]) on the MXU plus a dense VPU epilogue
+       — no per-triangle scalar broadcasting at all;
+    2. a shading PAYLOAD `pgeo` [32, 128] carrying everything downstream
+       shading needs (v0/e1/e2, vertex normals, uvs, consistent-normal
+       alphas, prim/material/ltri ids, LOD). The kernel extracts the
+       winning triangle's payload with a second one-hot matmul, which
+       removes every per-primitive XLA gather from the shade stage — the
+       round-3 fix for the gather-bound profile (STAGE_TIMES_r03.json).
+       Material parameter rows are baked ON DEVICE per pass from the live
+       DeviceMaterials (render/kernels/trace.py:bake_material_rows) so
+       material edits/differentiation never stale the tiles.
 
 The SAH topology itself comes from bvh/builder.py (same binned-SAH build the
 reference uses, bvh.cpp:57-178); this module only re-cuts and re-flattens it.
-
-Layout:
-  boxes  [M, 8] f32        node bmin.xyz, bmax.xyz, pad, pad
-  meta   [M, 2] i32        (skip target, leaf cluster id or -1)
-  tiles  [C*TPC, 16, 128]  rows: v0.xyz, e1.xyz, e2.xyz, prim-id (as float;
-                           -1 = padding lane), row 10 valid flag, rest pad
 """
 from __future__ import annotations
 
@@ -32,43 +38,163 @@ from flax import struct
 import jax.numpy as jnp
 
 CLUSTER_LANES = 128
-TILE_ROWS = 16
-MAX_TOP_NODES = 512     # SMEM budget: 512*(32+8)B boxes+meta + 8KB scratch
+MAX_TOP_NODES = 512     # SMEM budget: 512*(32+8)B boxes+meta
 
-ROW_V0 = 0
-ROW_E1 = 3
-ROW_E2 = 6
-ROW_PRIM = 9
-ROW_VALID = 10
+# bmat column blocks (each CLUSTER_LANES wide): the six linear forms
+BLK_TN, BLK_DN, BLK_OU, BLK_DU, BLK_OV, BLK_DV = range(6)
+BMAT_COLS = 6 * CLUSTER_LANES
+
+# geometry payload rows (host-baked)
+PAY_V0 = 0          # 0:9  v0, e1, e2
+PAY_E1 = 3
+PAY_E2 = 6
+PAY_N0 = 9          # 9:18 vertex normals
+PAY_N1 = 12
+PAY_N2 = 15
+PAY_UV0 = 18        # 18:24 uv0, uv1, uv2
+PAY_UV1 = 20
+PAY_UV2 = 22
+PAY_ALPHA = 24      # 24:27 consistent-normal alphas
+PAY_PRIM = 27       # triangle id as f32 (-1 = padding)
+PAY_MAT = 28        # material id as f32
+PAY_LTRI = 29       # area-light slot as f32 (-1 = none)
+PAY_LOD = 30        # texture LOD base
+PAY_VALID = 31      # 1.0 real, 0.0 padding
+PAY_GEO_ROWS = 32
+
+# material payload rows (device-baked each pass; layout must mirror
+# render/shading.py material_pack exactly)
+PAY_MAT_ROWS = 32   # 22 used + pad to a sublane multiple
+PAY_ROWS = PAY_GEO_ROWS + PAY_MAT_ROWS   # 64 — full payload height
 
 
 @struct.dataclass
 class ClusterBVH:
-    boxes: jnp.ndarray     # [M,8] f32
-    meta: jnp.ndarray      # [M,2] i32
-    tiles: jnp.ndarray     # [C*TPC,16,128] f32
+    boxes: jnp.ndarray     # [M,8] f32 top-tree node bmin.xyz, bmax.xyz, pad
+    meta: jnp.ndarray      # [M,2] i32 (skip target, leaf cluster id or -1)
+    bmat: jnp.ndarray      # [C*TPC, 8, 768] f32 MXU intersection tiles
+    pgeo: jnp.ndarray      # [C*TPC, 32, 128] f32 geometry payload tiles
     n_nodes: int = struct.field(pytree_node=False, default=0)
     n_clusters: int = struct.field(pytree_node=False, default=0)
     tiles_per_cluster: int = struct.field(pytree_node=False, default=1)
     n_prims: int = struct.field(pytree_node=False, default=0)
 
 
-def build_cluster_bvh(v0, v1, v2, max_leaf: int = 4,
+def _default_tri_aux(v0):
+    """Fill optional attribute arrays with neutral values."""
+    t = v0.shape[0]
+    z3 = np.zeros((t, 3), np.float32)
+    z2 = np.zeros((t, 2), np.float32)
+    return dict(n0=z3, n1=z3, n2=z3, uv0=z2, uv1=z2, uv2=z2,
+                alpha=np.ones((t, 3), np.float32),
+                mat=np.zeros((t,), np.int32),
+                ltri=np.full((t,), -1, np.int32),
+                lod=np.zeros((t,), np.float32))
+
+
+def build_cluster_bvh(v0, v1, v2, tri: dict | None = None, max_leaf: int = 4,
                       max_top_nodes: int = MAX_TOP_NODES) -> ClusterBVH:
-    """Build the two-level cluster structure over triangles [T,3]."""
+    """Build the two-level cluster structure over triangles [T,3].
+    `tri` optionally carries the shading attributes (n0/n1/n2, uv0/uv1/uv2,
+    alpha, mat, ltri, lod); missing keys get neutral defaults."""
     from lighthouse2_tpu.bvh.builder import build_sah_bvh
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     flat = build_sah_bvh(v0, v1, v2, max_leaf=max_leaf)
-    return cut_clusters(flat, v0, v1, v2, max_top_nodes=max_top_nodes)
+    tri = dict(tri or {})
+    tri.setdefault("v0", v0)
+    tri.setdefault("v1", v1)
+    tri.setdefault("v2", v2)
+    return cut_clusters(flat, tri, max_top_nodes=max_top_nodes)
 
 
-def cut_clusters(flat: dict, v0, v1, v2,
+def _plane_forms(v0, v1, v2):
+    """Per-triangle plane + barycentric linear forms, computed in f64.
+    Returns (N, d0, Gu, cu, Gv, cv); degenerate triangles get N=0, d0=-1
+    so the kernel's t = (d0 - O·N)/(D·N) = -1/0 = -inf never hits."""
+    v0 = v0.astype(np.float64)
+    e1 = v1.astype(np.float64) - v0
+    e2 = v2.astype(np.float64) - v0
+    n = np.cross(e1, e2)
+    nn = (n * n).sum(-1)
+    bad = nn < 1e-24
+    nn_safe = np.where(bad, 1.0, nn)
+    gu = np.cross(e2, n) / nn_safe[:, None]
+    gv = np.cross(n, e1) / nn_safe[:, None]
+    d0 = (n * v0).sum(-1)
+    cu = -(gu * v0).sum(-1)
+    cv = -(gv * v0).sum(-1)
+    n = np.where(bad[:, None], 0.0, n)
+    d0 = np.where(bad, -1.0, d0)
+    gu = np.where(bad[:, None], 0.0, gu)
+    gv = np.where(bad[:, None], 0.0, gv)
+    cu = np.where(bad, -1.0, cu)
+    cv = np.where(bad, -1.0, cv)
+    return (x.astype(np.float32) for x in (n, d0, gu, cu, gv, cv))
+
+
+def rebake_geometry(cb: ClusterBVH, tri9) -> ClusterBVH:
+    """Device-side (jnp) refresh of the tiles' triangle geometry from a live
+    [9,T] tri9 array: payload rows 0..8 AND the bmat plane forms, so the
+    kernel's hit tests track displaced vertices exactly like the lockstep
+    path's leaf tests do (bvh/traverse.py uses bvh.tri9 live). Traversal
+    BOXES stay stale — the reparameterization detachment (SURVEY §7.3.3).
+    Caller should stop_gradient the result (gradients reattach per ray)."""
+    L = CLUSTER_LANES
+    ct = cb.pgeo.shape[0]
+    valid = cb.pgeo[:, PAY_VALID, :] > 0.0
+    ids = jnp.where(valid, cb.pgeo[:, PAY_PRIM, :], 0.0).astype(jnp.int32)
+    rows9 = tri9[:, ids.reshape(-1)].reshape(9, ct, L)
+    rows9 = jnp.swapaxes(rows9, 0, 1)                       # [CT, 9, 128]
+    rows9 = jnp.where(valid[:, None, :], rows9, 0.0)
+    pgeo = cb.pgeo.at[:, 0:9, :].set(
+        jnp.where(valid[:, None, :], rows9, cb.pgeo[:, 0:9, :]))
+
+    v0, e1, e2 = rows9[:, 0:3], rows9[:, 3:6], rows9[:, 6:9]
+    n = jnp.cross(e1, e2, axis=1)
+    nn = jnp.sum(n * n, axis=1, keepdims=True)
+    bad = (nn < 1e-24) | ~valid[:, None, :]
+    nn_safe = jnp.where(bad, 1.0, nn)
+    gu = jnp.cross(e2, n, axis=1) / nn_safe
+    gv = jnp.cross(n, e1, axis=1) / nn_safe
+    d0 = jnp.sum(n * v0, axis=1, keepdims=True)
+    cu = -jnp.sum(gu * v0, axis=1, keepdims=True)
+    cv = -jnp.sum(gv * v0, axis=1, keepdims=True)
+    n = jnp.where(bad, 0.0, n)
+    d0 = jnp.where(bad, -1.0, d0)
+    gu = jnp.where(bad, 0.0, gu)
+    gv = jnp.where(bad, 0.0, gv)
+    cu = jnp.where(bad, -1.0, cu)
+    cv = jnp.where(bad, -1.0, cv)
+
+    bmat = cb.bmat
+    blk = lambda b: slice(b * L, (b + 1) * L)
+    bmat = bmat.at[:, 0:3, blk(BLK_TN)].set(-n)
+    bmat = bmat.at[:, 6:7, blk(BLK_TN)].set(d0)
+    bmat = bmat.at[:, 3:6, blk(BLK_DN)].set(n)
+    bmat = bmat.at[:, 0:3, blk(BLK_OU)].set(gu)
+    bmat = bmat.at[:, 6:7, blk(BLK_OU)].set(cu)
+    bmat = bmat.at[:, 3:6, blk(BLK_DU)].set(gu)
+    bmat = bmat.at[:, 0:3, blk(BLK_OV)].set(gv)
+    bmat = bmat.at[:, 6:7, blk(BLK_OV)].set(cv)
+    bmat = bmat.at[:, 3:6, blk(BLK_DV)].set(gv)
+    return cb.replace(pgeo=pgeo, bmat=bmat)
+
+
+def cut_clusters(flat: dict, tri: dict,
                  max_top_nodes: int = MAX_TOP_NODES) -> ClusterBVH:
     """Re-cut a flattened SAH BVH2 (builder.py layout) into the cluster
     structure. Subtree prims are contiguous in `flat['prim']` (DFS leaf
     order), so a cluster is just a (first, count) range of that array."""
+    v0 = np.asarray(tri["v0"], np.float32)
+    v1 = np.asarray(tri["v1"], np.float32)
+    v2 = np.asarray(tri["v2"], np.float32)
+    aux = _default_tri_aux(v0)
+    for k in aux:
+        if tri.get(k) is not None:
+            aux[k] = np.asarray(tri[k])
+
     nmin, nmax = flat["nmin"], flat["nmax"]
     left = flat["left"].astype(np.int64)
     right = flat["right"].astype(np.int64)
@@ -89,7 +215,6 @@ def cut_clusters(flat: dict, v0, v1, v2,
     tpc = 1
     while True:
         k = CLUSTER_LANES * tpc
-        # pruned tree keeps the root + every node whose parent has > k prims
         kept = 1
         stack = [0]
         while stack:
@@ -111,13 +236,7 @@ def cut_clusters(flat: dict, v0, v1, v2,
     meta = np.zeros((kept, 2), np.int32)
     clusters = []
     idx = 0
-    # stack of (node, ) plus a parallel fix-up list of subtree roots whose
-    # skip must be patched once their subtree is fully emitted
-    stack = [(0,)]
-    patch = []  # (emit_idx, node) pairs awaiting subtree completion
-    # simpler: explicit DFS with sentinel frames
     stack = [("visit", 0)]
-    open_frames = []
     while stack:
         kind, node = stack.pop()
         if kind == "close":
@@ -140,11 +259,20 @@ def cut_clusters(flat: dict, v0, v1, v2,
     assert idx == kept, (idx, kept)
 
     c = len(clusters)
-    v0 = np.asarray(v0, np.float32)
-    e1 = np.asarray(v1, np.float32) - v0
-    e2 = np.asarray(v2, np.float32) - v0
-    tiles = np.zeros((c * tpc, TILE_ROWS, CLUSTER_LANES), np.float32)
-    tiles[:, ROW_PRIM, :] = -1.0
+    N, d0, Gu, cu, Gv, cv = _plane_forms(v0, v1, v2)
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    bmat = np.zeros((c * tpc, 8, BMAT_COLS), np.float32)
+    # padding lanes: all-zero coefficients except TN const = -1 → t = -inf
+    bmat[:, 6, BLK_TN * CLUSTER_LANES:(BLK_TN + 1) * CLUSTER_LANES] = -1.0
+    pgeo = np.zeros((c * tpc, PAY_GEO_ROWS, CLUSTER_LANES), np.float32)
+    pgeo[:, PAY_PRIM, :] = -1.0
+    pgeo[:, PAY_LTRI, :] = -1.0
+
+    def put_blk(t, blk, rows, data, m):
+        bmat[t, rows, blk * CLUSTER_LANES:blk * CLUSTER_LANES + m] = data
+
     for cid, (first, cnt) in enumerate(clusters):
         ids = prim[first:first + cnt]
         for j in range(tpc):
@@ -152,17 +280,40 @@ def cut_clusters(flat: dict, v0, v1, v2,
             m = len(seg)
             if m == 0:
                 break
-            t = tiles[cid * tpc + j]
-            t[ROW_V0:ROW_V0 + 3, :m] = v0[seg].T
-            t[ROW_E1:ROW_E1 + 3, :m] = e1[seg].T
-            t[ROW_E2:ROW_E2 + 3, :m] = e2[seg].T
-            t[ROW_PRIM, :m] = seg.astype(np.float32)
-            t[ROW_VALID, :m] = 1.0
+            t = cid * tpc + j
+            # intersection matrix: out = bmat^T · [o; d; 1; 0]
+            put_blk(t, BLK_TN, slice(0, 3), -N[seg].T, m)
+            put_blk(t, BLK_TN, 6, d0[seg], m)
+            put_blk(t, BLK_DN, slice(3, 6), N[seg].T, m)
+            put_blk(t, BLK_OU, slice(0, 3), Gu[seg].T, m)
+            put_blk(t, BLK_OU, 6, cu[seg], m)
+            put_blk(t, BLK_DU, slice(3, 6), Gu[seg].T, m)
+            put_blk(t, BLK_OV, slice(0, 3), Gv[seg].T, m)
+            put_blk(t, BLK_OV, 6, cv[seg], m)
+            put_blk(t, BLK_DV, slice(3, 6), Gv[seg].T, m)
+            # geometry payload
+            g = pgeo[t]
+            g[PAY_V0:PAY_V0 + 3, :m] = v0[seg].T
+            g[PAY_E1:PAY_E1 + 3, :m] = e1[seg].T
+            g[PAY_E2:PAY_E2 + 3, :m] = e2[seg].T
+            g[PAY_N0:PAY_N0 + 3, :m] = aux["n0"][seg].T
+            g[PAY_N1:PAY_N1 + 3, :m] = aux["n1"][seg].T
+            g[PAY_N2:PAY_N2 + 3, :m] = aux["n2"][seg].T
+            g[PAY_UV0:PAY_UV0 + 2, :m] = aux["uv0"][seg].T
+            g[PAY_UV1:PAY_UV1 + 2, :m] = aux["uv1"][seg].T
+            g[PAY_UV2:PAY_UV2 + 2, :m] = aux["uv2"][seg].T
+            g[PAY_ALPHA:PAY_ALPHA + 3, :m] = aux["alpha"][seg].T
+            g[PAY_PRIM, :m] = seg.astype(np.float32)
+            g[PAY_MAT, :m] = aux["mat"][seg].astype(np.float32)
+            g[PAY_LTRI, :m] = aux["ltri"][seg].astype(np.float32)
+            g[PAY_LOD, :m] = aux["lod"][seg].astype(np.float32)
+            g[PAY_VALID, :m] = 1.0
 
     return ClusterBVH(
         boxes=jnp.asarray(boxes),
         meta=jnp.asarray(meta),
-        tiles=jnp.asarray(tiles),
+        bmat=jnp.asarray(bmat),
+        pgeo=jnp.asarray(pgeo),
         n_nodes=kept,
         n_clusters=c,
         tiles_per_cluster=tpc,

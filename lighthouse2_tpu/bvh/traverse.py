@@ -280,10 +280,16 @@ def refine_hit(o, d, prim, tri9):
     [T,3] arrays hits the pathological XLA path on this backend).
     """
     p = jnp.maximum(prim, 0)
-    g = tri9[:, p]
+    return refine_hit_rows(o, d, prim, tri9[:, p])
+
+
+def refine_hit_rows(o, d, prim, g9):
+    """refine_hit from pre-fetched per-ray triangle rows g9 [9,N] (v0/e1/e2
+    component-major) — the gather-free path fed by the trace kernel's
+    payload (render/fetch.reattach_rows keeps it differentiable)."""
     t, u, v, h = mt_comp(
         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-        g[0], g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8],
+        g9[0], g9[1], g9[2], g9[3], g9[4], g9[5], g9[6], g9[7], g9[8],
         jnp.float32(-BIG_T), BIG_T)
     valid = prim >= 0
     return (jnp.where(valid, t, BIG_T), jnp.where(valid, u, 0.0),

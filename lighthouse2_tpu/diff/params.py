@@ -65,6 +65,19 @@ def displace_vertices(scene: DeviceScene, offset) -> DeviceScene:
         # traversal stays on the UN-displaced BVH (stop_gradient inside the
         # kernel); refine_hit must see the displaced triangles
         scene = scene.replace(bvh=scene.bvh.replace(tri9=tri9))
+    if scene.cbvh is not None:
+        # refresh the cluster tiles' triangle geometry (payload rows AND the
+        # bmat hit-test plane forms) so the kernel tracks displaced vertices
+        # exactly like the lockstep path's live leaf tests — without this,
+        # shadow-ray epsilons measured against the displaced surface
+        # self-occlude against the stale kernel geometry (the round-2
+        # test_vertex_grad_with_bvh FD discontinuity). Traversal boxes stay
+        # stale; gradients reattach per ray (render/fetch.py), never
+        # through the bake.
+        import jax
+        from lighthouse2_tpu.bvh.clusters import rebake_geometry
+        scene = scene.replace(cbvh=jax.lax.stop_gradient(
+            rebake_geometry(scene.cbvh, tri9)))
     return scene
 
 

@@ -107,12 +107,13 @@ def _walk(scene, config: RenderConfig, bsdf_mod, o, d, beta, pdf_fwd1_sa,
     verts = []
     misses = []
     for i in range(depth):
-        t, prim, u, v = _intersect(scene, o, d, config, alive)
+        t, prim, u, v, payload = _intersect(scene, o, d, config, alive)
         hit = alive & (prim >= 0)
         misses.append((alive & (prim < 0), beta, d))
         t = jnp.where(hit, t, 1.0)
-        sd = get_shading_data(scene, d, t, prim, u, v, jnp.float32(0.0),
-                              consistent_normals=config.consistent_normals)
+        from lighthouse2_tpu.render.wavefront import make_shading
+        sd = make_shading(scene, d, t, prim, u, v, jnp.float32(0.0), config,
+                          payload=payload)
         pos = o + t[:, None] * d
         dist2 = jnp.maximum(t * t, 1e-12)
         cos_here = jnp.abs(dot(d, sd.n_shading))

@@ -1,32 +1,36 @@
-"""Speculative packet BVH traversal — the TPU intersection kernel.
+"""Speculative packet BVH traversal — the TPU intersection kernel (round 3).
 
 The reference's hot trace stage is an OptiX RTX launch (rendercore_optix7/
 optix/.optix.cu:151-170); the CPU core traverses a BVH2 recursively per ray
 (RenderCore_Bart/bvh.cpp:258-302). Neither maps to a TPU. This kernel is the
 TPU-native redesign:
 
-  - rays are processed in BLOCKS of 1024 (one (8,128) f32 vreg tile per
-    component). The whole block walks the tree in lockstep with ONE scalar
-    node pointer (no per-ray stack at all);
+  - rays are processed in BLOCKS of 1024, stored COMPONENT-MAJOR as one
+    [8, 1024] tile: rows o.xyz, d.xyz, 1, tmax. The whole block walks the
+    tree in lockstep with ONE scalar node pointer (no per-ray stack);
   - the top tree is DFS-ordered with SKIP LINKS (bvh/clusters.py): if any
     ray in the block enters a node's AABB the block descends (node+1),
     otherwise it jumps the whole subtree (skip). Node boxes are scalar-
-    prefetched into SMEM, so a node step is 6 scalar loads + a dense
-    (8,128) slab test;
-  - leaves are triangle CLUSTERS (<=128 tris per tile) stored as dense
-    [16,128] f32 tiles; a visited cluster is DMA'd to SMEM scratch and every
-    triangle is tested against all 1024 rays with dense Moller-Trumbore
-    vector math (no gathers anywhere);
-  - the kernel runs as ONE pallas grid step with an internal loop over ray
-    blocks — a grid step per block costs ~13us of pipeline overhead on v5e,
-    the internal loop ~0.5us per block (measured 40x difference).
+    prefetched into SMEM;
+  - leaves are 128-triangle CLUSTER tiles in plane+barycentric form
+    (clusters.py `bmat`): one MXU dot_general([8,768],[8,1024]) yields all
+    six linear forms for every (ray, triangle) pair; a short dense VPU
+    epilogue selects hits. No per-triangle scalar loop (the round-2 kernel
+    broadcast 128 triangles sequentially from SMEM — ~10x more VPU work);
+  - the winning triangle's 64-row shading PAYLOAD (geometry host-baked,
+    material rows device-baked per pass) is extracted in-kernel by a
+    one-hot matmul, so the shade stage needs ZERO per-primitive gathers —
+    XLA per-ray gathers measured ~85% of the round-2 frame
+    (STAGE_TIMES_r03.json).
 
-Speculation cost: every ray in a block pays for the union of nodes/clusters
-any ray in the block needs — the classic packet-traversal trade. Rays are
+Speculation cost: every ray in a block pays for the union of clusters any
+ray in the block needs — the classic packet-traversal trade. Rays are
 therefore ordered tile-coherently by the caller (render/wavefront.py).
 
-Differentiability: traversal is discrete; gradients flow through
-bvh.traverse.refine_hit exactly as in the lockstep JAX path.
+Differentiability: traversal is discrete and every kernel output is
+gradient-stopped; gradients re-enter through `reattach_rows`
+(render/fetch.py) whose forward returns the kernel payload for free and
+whose backward scatter-adds into the live scene arrays.
 """
 from __future__ import annotations
 
@@ -38,171 +42,213 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lighthouse2_tpu.bvh.clusters import (
-    ClusterBVH, ROW_V0, ROW_E1, ROW_E2, ROW_PRIM, TILE_ROWS, CLUSTER_LANES,
+    ClusterBVH, CLUSTER_LANES, BMAT_COLS,
+    PAY_PRIM, PAY_MAT, PAY_VALID, PAY_GEO_ROWS, PAY_MAT_ROWS, PAY_ROWS,
 )
 
-BLOCK_SUB = 8          # sublanes per ray block
-BLOCK_LANES = 128      # lanes per ray block
-BLOCK = BLOCK_SUB * BLOCK_LANES
-CHUNK_BLOCKS = 64      # ray blocks per pallas launch (VMEM budget)
-MT_EPS = 1e-6          # Moller-Trumbore t epsilon (bvh/traverse.py parity)
+BLOCK = 1024           # rays per packet (lanes of the [8,1024] ray tile)
+CHUNK_BLOCKS = 16      # ray blocks per pallas launch (VMEM budget)
+MT_EPS = 1e-6          # t epsilon (bvh/traverse.py parity)
+BIG = 1e30
+_PREC = jax.lax.Precision.HIGHEST   # f32-accurate MXU (bf16x3 passes)
 
 
-def _slab(box, ox, oy, oz, ix, iy, iz, best):
-    """Dense slab test of one AABB (6 SMEM scalars) vs an (8,128) ray block.
-    Entry distance clamped to >=0 so dead lanes (tmax<=0) never pass."""
-    t0x = (box[0] - ox) * ix
-    t1x = (box[3] - ox) * ix
-    t0y = (box[1] - oy) * iy
-    t1y = (box[4] - oy) * iy
-    t0z = (box[2] - oz) * iz
-    t1z = (box[5] - oz) * iz
-    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                     jnp.minimum(t0z, t1z))
-    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                     jnp.maximum(t0z, t1z))
-    tn = jnp.maximum(tn, 0.0)
-    return (tf >= tn) & (tn < best)
+def _walk_to_leaf(node, best, boxes_ref, meta_ref, n_nodes,
+                  ox, oy, oz, ix, iy, iz):
+    """Advance the node pointer to the next cluster leaf whose AABB any ray
+    enters, or to n_nodes. One slab test per node; the stop flag is carried
+    so cond() does no vector work."""
+    def slab(nd):
+        t0x = (boxes_ref[nd, 0] - ox) * ix
+        t1x = (boxes_ref[nd, 3] - ox) * ix
+        t0y = (boxes_ref[nd, 1] - oy) * iy
+        t1y = (boxes_ref[nd, 4] - oy) * iy
+        t0z = (boxes_ref[nd, 2] - oz) * iz
+        t1z = (boxes_ref[nd, 5] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        tn = jnp.maximum(tn, 0.0)
+        return (tf >= tn) & (tn < best)
+
+    def w_cond(c):
+        return ~c[1]
+
+    def w_body(c):
+        nd, _ = c
+        hit = slab(nd)
+        anyh = jnp.any(hit)
+        is_leaf = meta_ref[nd, 1] >= 0
+        hit_leaf = anyh & is_leaf
+        nxt = jnp.where(anyh & ~is_leaf, nd + 1, meta_ref[nd, 0])
+        nxt = jnp.where(hit_leaf, nd, nxt)
+        return nxt, hit_leaf | (nxt >= n_nodes)
+
+    nd, _ = jax.lax.while_loop(w_cond, w_body, (node, node >= n_nodes))
+    return nd
 
 
-def _one_tri(scratch, k, c, ox, oy, oz, dx, dy, dz, anyhit):
-    """Moller-Trumbore of SMEM triangle k against the whole ray block."""
-    best, bp, bu, bv = c
-    pid = scratch[ROW_PRIM, k]
-    v0x = scratch[ROW_V0, k]
-    v0y = scratch[ROW_V0 + 1, k]
-    v0z = scratch[ROW_V0 + 2, k]
-    e1x = scratch[ROW_E1, k]
-    e1y = scratch[ROW_E1 + 1, k]
-    e1z = scratch[ROW_E1 + 2, k]
-    e2x = scratch[ROW_E2, k]
-    e2y = scratch[ROW_E2 + 1, k]
-    e2z = scratch[ROW_E2 + 2, k]
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    ok = ((jnp.abs(det) >= 1e-12) & (u >= 0.0) & (v >= 0.0)
-          & (u + v <= 1.0) & (t > MT_EPS) & (t < best) & (pid >= 0.0))
-    best = jnp.where(ok, t, best)
-    bp = jnp.where(ok, pid, bp)
-    if not anyhit:
-        bu = jnp.where(ok, u, bu)
-        bv = jnp.where(ok, v, bv)
-    return best, bp, bu, bv
+def _intersect_tile(bscratch, X, best):
+    """All-pairs plane/barycentric test of one 128-triangle tile against a
+    1024-ray block. Returns (tm [128,1024] candidate t or BIG, tb [1,1024])."""
+    L = CLUSTER_LANES
+    out = jax.lax.dot_general(bscratch[:], X, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=_PREC)          # [768, 1024]
+    tn_ = out[0 * L:1 * L]
+    dn = out[1 * L:2 * L]
+    ou = out[2 * L:3 * L]
+    du = out[3 * L:4 * L]
+    ov = out[4 * L:5 * L]
+    dv = out[5 * L:6 * L]
+    t = tn_ / dn                      # padding: -1/0 = -inf, never passes
+    u = ou + t * du
+    v = ov + t * dv
+    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > MT_EPS) & (t < best))
+    tm = jnp.where(ok, t, BIG)
+    tb = jnp.min(tm, axis=0, keepdims=True)
+    return tm, tb
 
 
-def _make_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
-                 anyhit: bool):
+def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
     def kernel(boxes_ref, meta_ref,          # scalar-prefetch (SMEM)
-               tiles_ref,                    # ANY (HBM) [C*TPC, 16, 128]
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               t_out, p_out, u_out, v_out,
-               scratch, sem):
+               bmat_ref, pay_ref,            # ANY (HBM) tile stores
+               x_ref,                        # [8, Nc] rays
+               pay_out,                      # [PAY_ROWS, Nc]
+               bscratch, pscratch, bsem, psem):
 
         def trace_block(b, _):
-            r = pl.multiple_of(b * BLOCK_SUB, BLOCK_SUB)
-            sl = (pl.ds(r, BLOCK_SUB), slice(None))
-            ox, oy, oz = ox_ref[sl], oy_ref[sl], oz_ref[sl]
-            dx, dy, dz = dx_ref[sl], dy_ref[sl], dz_ref[sl]
-            tmax = tmax_ref[sl]
+            c0 = pl.multiple_of(b * BLOCK, BLOCK)
+            sl = (slice(None), pl.ds(c0, BLOCK))
+            X = x_ref[sl]                             # [8, 1024]
+            ox, oy, oz = X[0:1], X[1:2], X[2:3]
+            dx, dy, dz = X[3:4], X[4:5], X[5:6]
+            tmax = X[7:8]
 
             def inv(d):
                 mag = jnp.maximum(jnp.abs(d), 1e-20)
                 return jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
             ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
-            carry0 = (tmax, jnp.full_like(tmax, -1.0),
-                      jnp.zeros_like(tmax), jnp.zeros_like(tmax))
-
-            # The walk is TWO nested whiles and NO lax.cond (conditionally
-            # executed DMA+intersect bodies explode Mosaic compile time):
-            # the inner while advances the node pointer to the next cluster
-            # leaf any ray's box-test enters; the outer body then visits
-            # that cluster UNCONDITIONALLY. Visiting one cluster too many
-            # (inner ended at n_nodes) is harmless: clusters hold only real
-            # scene triangles, so extra tests can only produce real hits,
-            # and padding lanes carry prim=-1.
-            def walk_to_leaf(node, best):
-                """Advance the node pointer to the next cluster leaf whose
-                AABB any ray enters, or to n_nodes. One slab test per node
-                (the stop flag is carried so cond() does no vector work)."""
-                def w_cond(c):
-                    return ~c[1]
-
-                def w_body(c):
-                    nd, _ = c
-                    box = (boxes_ref[nd, 0], boxes_ref[nd, 1],
-                           boxes_ref[nd, 2], boxes_ref[nd, 3],
-                           boxes_ref[nd, 4], boxes_ref[nd, 5])
-                    hit = _slab(box, ox, oy, oz, ix, iy, iz, best)
-                    anyh = jnp.any(hit)
-                    is_leaf = meta_ref[nd, 1] >= 0
-                    hit_leaf = anyh & is_leaf
-                    nxt = jnp.where(anyh & ~is_leaf, nd + 1, meta_ref[nd, 0])
-                    nxt = jnp.where(hit_leaf, nd, nxt)
-                    return nxt, hit_leaf | (nxt >= n_nodes)
-                nd, _ = jax.lax.while_loop(w_cond, w_body,
-                                           (node, node >= n_nodes))
-                return nd
-
-            def visit_cluster(cid, carry):
-                def tile_body(j, c):
-                    dma = pltpu.make_async_copy(
-                        tiles_ref.at[cid * tiles_per_cluster + j],
-                        scratch, sem)
-                    dma.start()
-                    dma.wait()
-
-                    def two(i, cc):
-                        cc = _one_tri(scratch, 2 * i, cc, ox, oy, oz,
-                                      dx, dy, dz, anyhit)
-                        return _one_tri(scratch, 2 * i + 1, cc, ox, oy, oz,
-                                        dx, dy, dz, anyhit)
-                    return jax.lax.fori_loop(0, CLUSTER_LANES // 2, two, c)
-                return jax.lax.fori_loop(0, tiles_per_cluster, tile_body,
-                                         carry)
-
-            # dead-lane early-out: a block whose rays ALL carry tmax<=0
-            # (masked-out wavefront lanes) does zero traversal work — the
-            # static-shape compaction analog of the reference's stream
-            # compaction (pathtracer.h:233); with 32x32 tile ordering whole
-            # blocks die together as paths terminate
+            rows = jax.lax.broadcasted_iota(jnp.int32, (PAY_ROWS, BLOCK), 0)
+            # payload accumulates in the OUTPUT ref (RMW per visit) — large
+            # arrays in while-loop carries fail Mosaic layout legalization
+            pay_out[sl] = jnp.where((rows == PAY_PRIM), -1.0, 0.0)
             any_live = jnp.any(tmax > 0.0)
 
+            def visit_cluster(cid, best):
+                def tile_body(j, best):
+                    t_idx = cid * tiles_per_cluster + j
+                    bdma = pltpu.make_async_copy(bmat_ref.at[t_idx],
+                                                 bscratch, bsem)
+                    pdma = pltpu.make_async_copy(pay_ref.at[t_idx],
+                                                 pscratch, psem)
+                    bdma.start()
+                    pdma.start()
+                    bdma.wait()
+                    tm, tb = _intersect_tile(bscratch, X, best)
+                    upd = tb < best
+
+                    @pl.when(jnp.any(upd))
+                    def _():
+                        # exclusive winner lane (smallest t, lowest lane)
+                        ri = jax.lax.broadcasted_iota(
+                            jnp.int32, (CLUSTER_LANES, BLOCK), 0)
+                        cand = tm <= tb
+                        win = jnp.min(jnp.where(cand, ri, CLUSTER_LANES),
+                                      axis=0, keepdims=True)
+                        S = ((ri == win) & cand).astype(jnp.float32)
+                        pdma.wait()
+                        p_new = jax.lax.dot_general(
+                            pscratch[:], S, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PREC)          # [PAY_ROWS, 1024]
+                        pay_out[sl] = jnp.where(upd, p_new, pay_out[sl])
+
+                    @pl.when(~jnp.any(upd))
+                    def _():
+                        pdma.wait()
+
+                    return jnp.where(upd, tb, best)
+                return jax.lax.fori_loop(0, tiles_per_cluster, tile_body,
+                                         best)
+
             def cond(c):
-                node = c[0]
-                if anyhit:
-                    # fire-and-forget shadow rays: stop once every live ray
-                    # (tmax>0) is occluded (TERMINATE_ON_FIRST_HIT analog)
-                    return (node < n_nodes) & jnp.any((c[1][0] >= tmax)
-                                                      & (tmax > 0))
-                return (node < n_nodes) & any_live
+                return (c[0] < n_nodes) & any_live
 
             def body(c):
-                node, carry = c
-                node = walk_to_leaf(node, carry[0])
+                node, best = c
+                node = _walk_to_leaf(node, best, boxes_ref, meta_ref,
+                                     n_nodes, ox, oy, oz, ix, iy, iz)
                 nd_c = jnp.minimum(node, n_nodes - 1)
                 cid = jnp.maximum(meta_ref[nd_c, 1], 0)
-                carry = visit_cluster(cid, carry)
-                return meta_ref[nd_c, 0], carry
+                best = visit_cluster(cid, best)
+                return meta_ref[nd_c, 0], best
 
-            _, (best, bp, bu, bv) = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), carry0))
-            t_out[sl] = best
-            p_out[sl] = bp
-            u_out[sl] = bu
-            v_out[sl] = bv
+            _, best = jax.lax.while_loop(cond, body, (jnp.int32(0), tmax))
+            # miss lanes keep t = tmax; row PAY_VALID of the OUTPUT carries t
+            pay_out[(pl.ds(PAY_VALID, 1), pl.ds(c0, BLOCK))] = best
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, trace_block, 0)
+    return kernel
+
+
+def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
+    def kernel(boxes_ref, meta_ref, bmat_ref, x_ref, occ_out,
+               bscratch, bsem):
+
+        def trace_block(b, _):
+            c0 = pl.multiple_of(b * BLOCK, BLOCK)
+            sl = (slice(None), pl.ds(c0, BLOCK))
+            X = x_ref[sl]
+            ox, oy, oz = X[0:1], X[1:2], X[2:3]
+            dx, dy, dz = X[3:4], X[4:5], X[5:6]
+            tmax = X[7:8]
+
+            def inv(d):
+                mag = jnp.maximum(jnp.abs(d), 1e-20)
+                return jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
+            ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+            # occlusion carried as f32 0/1 — i1 vectors in while carries
+            # fail Mosaic's scf.yield legalization
+            def visit_cluster(cid, occ):
+                def tile_body(j, occ):
+                    t_idx = cid * tiles_per_cluster + j
+                    bdma = pltpu.make_async_copy(bmat_ref.at[t_idx],
+                                                 bscratch, bsem)
+                    bdma.start()
+                    bdma.wait()
+                    _, tb = _intersect_tile(bscratch, X, tmax)
+                    return jnp.maximum(occ, (tb < tmax).astype(jnp.float32))
+                return jax.lax.fori_loop(0, tiles_per_cluster, tile_body, occ)
+
+            def cond(c):
+                node, occ = c
+                # fire-and-forget: stop once every live ray is occluded
+                # (OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT analog)
+                return (node < n_nodes) & jnp.any((occ < 0.5) & (tmax > 0.0))
+
+            def body(c):
+                node, occ = c
+                # prune against tmax only: occluded lanes keep best=tmax but
+                # the loop exits once all live lanes are occluded
+                node = _walk_to_leaf(node, tmax, boxes_ref, meta_ref,
+                                     n_nodes, ox, oy, oz, ix, iy, iz)
+                nd_c = jnp.minimum(node, n_nodes - 1)
+                cid = jnp.maximum(meta_ref[nd_c, 1], 0)
+                occ = visit_cluster(cid, occ)
+                return meta_ref[nd_c, 0], occ
+
+            _, occ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), (tmax <= 0.0).astype(jnp.float32)))
+            occ_out[(pl.ds(0, 1), pl.ds(c0, BLOCK))] = jnp.where(
+                tmax > 0.0, occ, 0.0)
             return 0
 
         jax.lax.fori_loop(0, n_blocks, trace_block, 0)
@@ -212,76 +258,118 @@ def _make_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_nodes", "tiles_per_cluster", "anyhit",
                                     "interpret"))
-def _trace_chunk(boxes, meta, tiles, ox, oy, oz, dx, dy, dz, tmax,
+def _trace_chunk(boxes, meta, bmat, pay, x,
                  n_nodes: int, tiles_per_cluster: int, anyhit: bool,
                  interpret: bool = False):
-    """One pallas launch over [R,128] ray arrays (R = blocks*8). Returns
-    (t, prim_f32, u, v) with the same shape."""
-    n_blocks = ox.shape[0] // BLOCK_SUB
+    """One pallas launch over an [8, Nc] ray tile. Returns the [PAY_ROWS, Nc]
+    payload (closest; row PAY_VALID = best t) or [1, Nc] occlusion (anyhit)."""
+    nc = x.shape[1]
+    n_blocks = nc // BLOCK
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    if anyhit:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), vm()],
+            out_specs=[vm()],
+            scratch_shapes=[
+                pltpu.VMEM((8, BMAT_COLS), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        kernel = _make_anyhit_kernel(n_nodes, tiles_per_cluster, n_blocks)
+        out_shape = [jax.ShapeDtypeStruct((1, nc), jnp.float32)]
+        return pl.pallas_call(kernel, grid_spec=grid_spec,
+                              out_shape=out_shape,
+                              interpret=interpret)(boxes, meta, bmat, x)[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [vm() for _ in range(7)],
-        out_specs=[vm() for _ in range(4)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY), vm()],
+        out_specs=[vm()],
         scratch_shapes=[
-            pltpu.SMEM((TILE_ROWS, CLUSTER_LANES), jnp.float32),
+            pltpu.VMEM((8, BMAT_COLS), jnp.float32),
+            pltpu.VMEM((PAY_ROWS, CLUSTER_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    shape = jax.ShapeDtypeStruct(ox.shape, jnp.float32)
-    kernel = _make_kernel(n_nodes, tiles_per_cluster, n_blocks, anyhit)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[shape] * 4,
-        interpret=interpret,
-    )(boxes, meta, tiles, ox, oy, oz, dx, dy, dz, tmax)
+    kernel = _make_closest_kernel(n_nodes, tiles_per_cluster, n_blocks)
+    out_shape = [jax.ShapeDtypeStruct((PAY_ROWS, nc), jnp.float32)]
+    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                          interpret=interpret)(boxes, meta, bmat, pay, x)[0]
+
+
+def bake_material_rows(cbvh: ClusterBVH, mpack22):
+    """Device-side bake of the material payload rows from the LIVE material
+    pack ([22, M], render/shading.py material_pack) — one triangle-count-
+    sized gather per pass, so material edits / optimizer steps never stale
+    the tiles (the analog of the per-frame SetMaterials upload,
+    rendersystem.cpp:83). Returns [C*TPC, PAY_MAT_ROWS, 128] f32."""
+    ct = cbvh.pgeo.shape[0]
+    valid = cbvh.pgeo[:, PAY_VALID, :] > 0.0
+    ids = jnp.where(valid, cbvh.pgeo[:, PAY_MAT, :], 0.0).astype(jnp.int32)
+    rows = mpack22[:, ids.reshape(-1)]                    # [22, CT*128]
+    rows = rows.reshape(mpack22.shape[0], ct, CLUSTER_LANES)
+    rows = jnp.swapaxes(rows, 0, 1)                       # [CT, 22, 128]
+    pad = PAY_MAT_ROWS - mpack22.shape[0]
+    return jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
 
 
 def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
-                      interpret: bool = False):
+                      paym=None, interpret: bool = False):
     """Closest-hit (or any-hit) of [N,3] rays against a ClusterBVH.
 
-    Returns (t, prim, u, v) with prim = -1 on miss, or occluded bool [N]
-    for anyhit. Non-differentiable (pair with bvh.traverse.refine_hit)."""
-    # EVERY input is gradient-stopped: the kernel has no JVP rule, and
-    # traversal is discrete anyway — gradients reach vertices through the
-    # differentiable re-intersection in bvh.traverse.refine_hit.
+    Closest: returns (t [N], payload [PAY_ROWS, N]) — prim = payload[PAY_PRIM]
+    (-1 on miss), shading attributes in the remaining rows (clusters.py PAY_*;
+    material rows filled iff `paym` from bake_material_rows is given).
+    Anyhit: returns occluded bool [N].
+    Non-differentiable — reattach gradients via render/fetch.reattach_rows."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     t_max = jax.lax.stop_gradient(t_max)
     bvh = jax.tree_util.tree_map(jax.lax.stop_gradient, bvh)
     n = o.shape[0]
-    n_blocks = -(-n // BLOCK)
-    chunk_blocks = min(CHUNK_BLOCKS, n_blocks)
-    chunk = chunk_blocks * BLOCK
+    chunk = min(CHUNK_BLOCKS, -(-n // BLOCK)) * BLOCK
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
-    def prep(x):
-        # padded lanes carry tmax=0 -> never hit, terminate instantly
-        return jnp.pad(x, (0, pad)).reshape(n_chunks, chunk_blocks * BLOCK_SUB,
-                                            BLOCK_LANES)
+    x = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                   jnp.ones_like(tmax), tmax], 0)          # [8, N]
+    # padded lanes carry tmax=0 -> never hit, terminate instantly
+    x = jnp.pad(x, ((0, 0), (0, pad)))
+    x = x.reshape(8, n_chunks, chunk).swapaxes(0, 1)       # [nc, 8, chunk]
 
-    args = [prep(x) for x in
-            (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmax)]
-    fn = functools.partial(
-        _trace_chunk, jax.lax.stop_gradient(bvh.boxes), bvh.meta, bvh.tiles,
-        n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
-        anyhit=anyhit, interpret=interpret)
-    if n_chunks == 1:
-        t, p, u, v = fn(*(a[0] for a in args))
-    else:
-        t, p, u, v = jax.lax.map(lambda a: fn(*a), tuple(args))
-    t = t.reshape(-1)[:n]
-    p = p.reshape(-1)[:n]
     if anyhit:
-        return t < tmax
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    prim = jnp.where(t < tmax, p.astype(jnp.int32), -1)
-    t = jnp.where(prim >= 0, t, jnp.broadcast_to(tmax, t.shape))
-    return t, prim, u, v
+        fn = functools.partial(
+            _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, None,
+            n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
+            anyhit=True, interpret=interpret)
+        if n_chunks == 1:
+            occ = fn(x[0])
+        else:
+            occ = jax.lax.map(fn, x)
+        return occ.reshape(-1)[:n] > 0.5
+
+    if paym is None:
+        paym = jnp.zeros((bvh.pgeo.shape[0], PAY_MAT_ROWS, CLUSTER_LANES),
+                         jnp.float32)
+    pay_tiles = jnp.concatenate(
+        [bvh.pgeo, jax.lax.stop_gradient(paym)], axis=1)   # [CT, 64, 128]
+    fn = functools.partial(
+        _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, pay_tiles,
+        n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
+        anyhit=False, interpret=interpret)
+    if n_chunks == 1:
+        payload = fn(x[0])
+    else:
+        payload = jax.lax.map(fn, x)
+        payload = jnp.swapaxes(payload, 0, 1).reshape(PAY_ROWS, -1)
+    payload = payload[:, :n]
+    t = payload[PAY_VALID]               # best t rides in the VALID row slot
+    prim = payload[PAY_PRIM]
+    hit = prim >= 0.0
+    t = jnp.where(hit, t, jnp.broadcast_to(tmax, t.shape))
+    return t, payload

@@ -8,6 +8,7 @@ the vertex and material arrays.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -46,6 +47,85 @@ class ShadingData:
                                 # → passthrough ray (material_shared.h:122-126)
 
 
+def material_pack(mats) -> jnp.ndarray:
+    """The [22, M] component-major material table — float rows 0..17 then the
+    int slots (flags, tex ids) as exact f32 rows 18..21. Row order is the
+    contract shared by get_shading_data, the payload bake
+    (render/kernels/trace.py bake_material_rows) and shading_from_payload."""
+    return jnp.concatenate([
+        mats.color.T,                             # 0:3
+        mats.absorption.T,                        # 3:6
+        mats.metallic[None], mats.subsurface[None],
+        mats.specular[None], mats.roughness[None],
+        mats.spec_tint[None], mats.anisotropic[None],
+        mats.sheen[None], mats.sheen_tint[None],
+        mats.clearcoat[None], mats.clearcoat_gloss[None],
+        mats.transmission[None], mats.eta[None],  # 6..17
+        mats.flags.astype(jnp.float32)[None],     # 18
+        mats.tex_diffuse.astype(jnp.float32)[None],
+        mats.tex_normal.astype(jnp.float32)[None],
+        mats.tex_roughness.astype(jnp.float32)[None],  # 19..21
+    ], axis=0)
+
+
+def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
+                         spread_angle, consistent_normals=True):
+    """GetShadingData from the trace kernel's extracted payload — ZERO
+    per-primitive gathers (the round-3 gather-bound fix, STAGE_TIMES_r03).
+
+    Gradients reattach through render/fetch.reattach_rows: forward is the
+    free kernel payload, backward scatter-adds into the live scene packs.
+    Deviation noted: n_geom is recomputed as normalize(e1×e2) (the true
+    geometric normal of the world-space triangle) instead of the host-
+    transformed CoreTri.N — identical direction for det>0 transforms."""
+    from lighthouse2_tpu.render.fetch import reattach_rows
+    from lighthouse2_tpu.bvh import clusters as CL
+    tris, mats = scene.tris, scene.materials
+    payload = jax.lax.stop_gradient(payload)
+    prim = payload[CL.PAY_PRIM].astype(jnp.int32)
+    prim = jnp.where(payload[CL.PAY_PRIM] >= 0.0, prim, -1)
+    mat = payload[CL.PAY_MAT].astype(jnp.int32)
+    mat_safe = jnp.where(prim >= 0, mat, 0)
+    ltri = jnp.where(prim >= 0, payload[CL.PAY_LTRI].astype(jnp.int32), -1)
+    w = 1.0 - u - v
+
+    g9 = reattach_rows(tris.tri9, prim, payload[CL.PAY_V0:CL.PAY_V0 + 9])
+    apack = jnp.concatenate([
+        tris.n0.T, tris.n1.T, tris.n2.T,          # 0:9
+        tris.uv0.T, tris.uv1.T, tris.uv2.T,       # 9:15
+        tris.alpha.T,                             # 15:18
+    ], axis=0)
+    ga = reattach_rows(apack, prim, payload[CL.PAY_N0:CL.PAY_N0 + 18])
+    lodb = reattach_rows(tris.lod[None], prim,
+                         payload[CL.PAY_LOD:CL.PAY_LOD + 1])[0]
+
+    def v3(rows, a):
+        return jnp.stack([a[rows], a[rows + 1], a[rows + 2]], axis=-1)
+
+    e1 = v3(3, g9)
+    e2 = v3(6, g9)
+    cr = jnp.cross(e1, e2)
+    area = 0.5 * jnp.sqrt(jnp.maximum(dot(cr, cr), 1e-30))
+    n_geom = normalize(cr)
+    n_int = normalize(w[:, None] * v3(0, ga) + u[:, None] * v3(3, ga)
+                      + v[:, None] * v3(6, ga))
+    uv = (w[:, None] * jnp.stack([ga[9], ga[10]], -1)
+          + u[:, None] * jnp.stack([ga[11], ga[12]], -1)
+          + v[:, None] * jnp.stack([ga[13], ga[14]], -1))
+
+    mpack = material_pack(mats)
+    m = reattach_rows(mpack, mat_safe, payload[CL.PAY_GEO_ROWS:
+                                               CL.PAY_GEO_ROWS + 22])
+    mi = m[18:22].astype(jnp.int32)
+    color = v3(0, m)
+    rough = m[9]
+
+    return _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
+                             consistent_normals, n_geom, n_int, uv, m, mi,
+                             color, rough, alpha3=(ga[15], ga[16], ga[17]),
+                             area=area, ltri=ltri, lod_base=lodb)
+
+
 def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
                      consistent_normals=True):
     """Build ShadingData for hits (prim >= 0). Garbage (but finite) elsewhere.
@@ -80,31 +160,35 @@ def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
           + v[:, None] * jnp.stack([g[16], g[17]], -1))
 
     mat = tris.mat[p]
-    mpack = jnp.concatenate([
-        mats.color.T,                             # 0:3
-        mats.absorption.T,                        # 3:6
-        mats.metallic[None], mats.subsurface[None],
-        mats.specular[None], mats.roughness[None],
-        mats.spec_tint[None], mats.anisotropic[None],
-        mats.sheen[None], mats.sheen_tint[None],
-        mats.clearcoat[None], mats.clearcoat_gloss[None],
-        mats.transmission[None], mats.eta[None],  # 6..17
-    ], axis=0)
-    m = mpack[:, mat]                             # [18, N] one gather
-    ipack = jnp.stack([mats.flags, mats.tex_diffuse, mats.tex_normal,
-                       mats.tex_roughness], 0)
-    mi = ipack[:, mat]                            # [4, N] int gather
+    mpack = material_pack(mats)
+    m = mpack[:, mat]                             # [22, N] one gather
+    mi = m[18:22].astype(jnp.int32)               # flags, tex ids
     color = v3(0, m)
     rough = m[9]
+
+    return _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
+                             consistent_normals, n_geom, n_int, uv, m, mi,
+                             color, rough, alpha3=(g[18], g[19], g[20]),
+                             area=g[21], ltri=tris.ltri[p], lod_base=g[22])
+
+
+def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
+                      consistent_normals, n_geom, n_int, uv, m, mi,
+                      color, rough, alpha3, area, ltri, lod_base):
+    """Shared tail of GetShadingData (textures, consistent normals, normal
+    map, flags) for the gather and payload fetch paths."""
+
+    def v3(rows, a):
+        return jnp.stack([a[rows], a[rows + 1], a[rows + 2]], axis=-1)
 
     # texture fetches (diffuse/normal/roughness) with ray-cone LOD
     # lambda = triLOD + log2(coneWidth / |D·N|) (material_shared.h:116)
     cone_width = spread_angle * t
-    lam = g[22] + jnp.log2(
+    lam = lod_base + jnp.log2(
         jnp.maximum(cone_width, 1e-20) / jnp.maximum(jnp.abs(dot(d, n_int)), 1e-6))
     tex_d = mi[1]
     has_any_tex = scene.textures.pool.shape[1] > 1
-    alpha_cutout = jnp.zeros(p.shape, bool)
+    alpha_cutout = jnp.zeros(t.shape, bool)
     if has_any_tex:
         from lighthouse2_tpu.render.textures import fetch_trilinear
         texel = fetch_trilinear(scene.textures, tex_d, uv, lam)
@@ -120,7 +204,7 @@ def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
         rough = jnp.where(tex_r >= 0, rough * rtex[:, 0], rough)
 
     # consistent normal correction (tools_shared.h:297-311), backside flip
-    alpha = w * g[18] + u * g[19] + v * g[20]
+    alpha = w * alpha3[0] + u * alpha3[1] + v * alpha3[2]
     backside = dot(d, n_int) > 0
     if consistent_normals:
         n_in = jnp.where(backside[:, None], -n_int, n_int)
@@ -161,6 +245,6 @@ def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
         flags=mi[0],
         n_geom=n_geom, n_interp=n_int, n_shading=n_shading,
         face_dir=face_dir, emissive=emissive,
-        ltri=tris.ltri[p], area=g[21], uv=uv, lod=lam,
+        ltri=ltri, area=area, uv=uv, lod=lam,
         alpha_cutout=alpha_cutout,
     )

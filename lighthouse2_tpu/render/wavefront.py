@@ -37,7 +37,9 @@ from lighthouse2_tpu.render.lights import (
 )
 from lighthouse2_tpu.render.sky import sample_skydome
 from lighthouse2_tpu.scene.device_scene import DeviceScene
-from lighthouse2_tpu.bvh.traverse import bvh_intersect, bvh_occluded, refine_hit
+from lighthouse2_tpu.bvh.traverse import (
+    bvh_intersect, bvh_occluded, refine_hit, refine_hit_rows,
+)
 
 EPSILON = 1e-4   # pathtracer epsilon for pdf cutoff
 
@@ -227,16 +229,34 @@ def _pick_intersector(scene: DeviceScene, config: RenderConfig) -> str:
 
 def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None):
     """Closest hit. `alive` masks dead wavefront lanes with tmax=0 so the
-    trace kernels skip them entirely (static-shape stream compaction)."""
+    trace kernels skip them entirely (static-shape stream compaction).
+
+    Returns (t, prim, u, v, payload) — payload is the trace kernel's
+    [PAY_ROWS, N] per-hit shading extract on the cluster path (zero
+    downstream gathers; STAGE_TIMES_r03.json), None otherwise."""
     tris = scene.tris
     mode = _pick_intersector(scene, config)
     t_max = BIG_T if alive is None else jnp.where(
         jax.lax.stop_gradient(alive), BIG_T, 0.0)
+    payload = None
     if mode == "cluster":
-        from lighthouse2_tpu.render.kernels.trace import trace_cluster_bvh
-        t, prim, u, v = trace_cluster_bvh(o, d, scene.cbvh, t_max,
-                                          interpret=config.kernel_interpret)
-    elif mode == "lockstep":
+        from lighthouse2_tpu.render.kernels.trace import (
+            trace_cluster_bvh, bake_material_rows)
+        from lighthouse2_tpu.render.shading import material_pack
+        from lighthouse2_tpu.render.fetch import reattach_rows
+        from lighthouse2_tpu.bvh import clusters as CL
+        paym = bake_material_rows(
+            scene.cbvh, jax.lax.stop_gradient(material_pack(scene.materials)))
+        t, payload = trace_cluster_bvh(o, d, scene.cbvh, t_max, paym=paym,
+                                       interpret=config.kernel_interpret)
+        prim = jnp.where(payload[CL.PAY_PRIM] >= 0.0,
+                         payload[CL.PAY_PRIM].astype(jnp.int32), -1)
+        g9 = reattach_rows(tris.tri9, prim,
+                           payload[CL.PAY_V0:CL.PAY_V0 + 9])
+        rt, ru, rv, ok = refine_hit_rows(o, d, prim, g9)
+        t = jnp.where(prim >= 0, rt, t)
+        return t, prim, ru, rv, payload
+    if mode == "lockstep":
         t, prim, u, v = bvh_intersect(o, d, scene.bvh, tris.v0, tris.e1,
                                       tris.e2, t_max=t_max)
     else:
@@ -249,7 +269,20 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None):
     t = jnp.where(prim >= 0, rt, t)
     u = jnp.where(prim >= 0, ru, u)
     v = jnp.where(prim >= 0, rv, v)
-    return t, prim, u, v
+    return t, prim, u, v, None
+
+
+def make_shading(scene: DeviceScene, d, t, prim, u, v, spread_angle,
+                 config: RenderConfig, payload=None):
+    """GetShadingData via the kernel payload when available (cluster path),
+    else via the packed gathers."""
+    if payload is not None:
+        from lighthouse2_tpu.render.shading import shading_from_payload
+        return shading_from_payload(
+            scene, d, t, payload, u, v, spread_angle,
+            consistent_normals=config.consistent_normals)
+    return get_shading_data(scene, d, t, prim, u, v, spread_angle,
+                            consistent_normals=config.consistent_normals)
 
 
 def _occluded(scene: DeviceScene, o, d, t_max, config: RenderConfig):
@@ -325,10 +358,12 @@ def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li):
 
     def live(carry):
         paths, acc, cam_seed = carry
-        t, prim, u, v = _intersect(scene, paths["origin"], paths["dir"],
-                                   config, paths["alive"])
+        t, prim, u, v, payload = _intersect(scene, paths["origin"],
+                                            paths["dir"], config,
+                                            paths["alive"])
         paths2, acc2, cam_seed2, shadow = shade_bounce(
-            scene, view, config, paths, acc, cam_seed, li, t, prim, u, v)
+            scene, view, config, paths, acc, cam_seed, li, t, prim, u, v,
+            payload=payload)
         occ = _occluded(scene, shadow["o"], shadow["d"], shadow["tmax"],
                         config)
         acc2, paths2 = apply_shadow(config, paths2, acc2, shadow, occ)
@@ -376,7 +411,7 @@ def _finish_pass(config, paths, acc, stats, path_idx, cam_seed):
 
 
 def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
-                 t, prim, u, v):
+                 t, prim, u, v, payload=None):
     """The shade stage for one bounce (pathtracer.h:54-240 minus the trace
     and shadow-trace launches). Returns (paths', acc', cam_seed', shadow)
     where `shadow` carries the NEE connection batch for the occlusion stage."""
@@ -425,8 +460,8 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
 
     hit = alive & (prim >= 0)
     i_pos = o + t[:, None] * d
-    sd = get_shading_data(scene, d, t, prim, u, v, view.spread_angle,
-                          consistent_normals=config.consistent_normals)
+    sd = make_shading(scene, d, t, prim, u, v, view.spread_angle, config,
+                      payload=payload)
 
     # alpha cutout → passthrough extension ray (pathtracer.h:107-118):
     # keep D/throughput/pdf, move the origin past the surface, skip ALL
@@ -630,10 +665,12 @@ def _stage_trace(scene, o, d, alive, config):
 
 @functools.partial(jax.jit, static_argnames=("config",),
                    donate_argnames=("paths", "acc"))
-def _stage_shade(scene, view, paths, acc, cam_seed, li, t, prim, u, v, config):
+def _stage_shade(scene, view, paths, acc, cam_seed, li, t, prim, u, v, config,
+                 payload=None):
     n_alive = jnp.sum(paths["alive"].astype(jnp.int32))
     paths, acc, cam_seed, shadow = shade_bounce(
-        scene, view, config, paths, acc, cam_seed, li, t, prim, u, v)
+        scene, view, config, paths, acc, cam_seed, li, t, prim, u, v,
+        payload=payload)
     n_conn = jnp.sum(shadow["conn_ok"].astype(jnp.int32))
     return paths, acc, cam_seed, shadow, n_alive, n_conn
 
@@ -675,11 +712,12 @@ def render_pass_staged(scene: DeviceScene, view: ViewPyramid,
     ext_counts = []
     conn_counts = []
     for li in range(config.max_path_length):
-        t, prim, u, v = _stage_trace(scene, paths["origin"], paths["dir"],
-                                     paths["alive"], config)
+        t, prim, u, v, payload = _stage_trace(scene, paths["origin"],
+                                              paths["dir"], paths["alive"],
+                                              config)
         paths, acc, cam_seed, shadow, n_alive, n_conn = _stage_shade(
             scene, view, paths, acc, cam_seed, jnp.int32(li), t, prim, u, v,
-            config)
+            config, payload=payload)
         occ = _stage_occlude(scene, shadow["o"], shadow["d"], shadow["tmax"],
                              config)
         paths, acc = _stage_apply(paths, acc, shadow, occ, config)

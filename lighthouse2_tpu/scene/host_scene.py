@@ -337,8 +337,11 @@ class HostScene:
             bvh = device_bvh_from_flat(flat, world["v0"], world["v1"],
                                        world["v2"])
             # the pallas packet-traversal layout (render/kernels/trace.py);
-            # shares the SAH topology, only re-cuts/re-flattens it
-            cbvh = cut_clusters(flat, world["v0"], world["v1"], world["v2"])
+            # shares the SAH topology, only re-cuts/re-flattens it. The
+            # cluster tiles also bake the shading payload rows (normals, uvs,
+            # alphas, ids, lod) so the kernel can extract them per hit.
+            cbvh = cut_clusters(
+                flat, dict(world, ltri=ltri, lod=lod.astype(np.float32)))
 
         if self.textures:
             from lighthouse2_tpu.scene.host_texture import build_texture_pool

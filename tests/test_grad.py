@@ -131,6 +131,47 @@ def test_vertex_grad_with_bvh_matches_fd():
     assert worst < 0.03, res
 
 
+def _cluster_cfg(cfg):
+    """Run the SHIPPING TPU intersector (pallas cluster kernel) in interpret
+    mode on the CPU test backend — VERDICT r2 item 3: the cluster-path
+    gradient contract must be tested where it can't silently regress."""
+    import dataclasses
+    return dataclasses.replace(cfg, intersector="cluster",
+                               kernel_interpret=True)
+
+
+def test_vertex_grad_cluster_kernel_matches_fd():
+    """Payload fetch + reattach_rows (render/fetch.py) on the cluster path
+    must preserve the FD-vs-AD vertex gradient contract."""
+    cfg, ds, view = wall_scene(use_bvh=True)
+    f = proj_loss(_cluster_cfg(cfg), ds, view, displace_vertices)
+    worst, res, g = _wall_only_dirs(f, ds, eps=1e-3, n_dirs=2, seed=4)
+    assert worst < 0.03, res
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_material_color_grad_cluster_kernel_matches_fd():
+    """Material gradients through the device-baked payload rows
+    (bake_material_rows + reattach) vs finite differences."""
+    cfg, ds, view = setup(use_bvh=True)
+    f = proj_loss(_cluster_cfg(cfg), ds, view,
+                  lambda s, c: set_material_fields(s, color=c))
+    worst, res = check_grad(f, ds.materials.color, eps=2e-3, n_dirs=3)
+    assert worst < 0.03, res
+
+
+def test_cluster_kernel_image_matches_lockstep():
+    """The payload shading path must produce the same image as the gather
+    path (same scene, same seeds) — forward parity of the round-3 redesign."""
+    import dataclasses
+    cfg, ds, view = setup(use_bvh=True, w=16, h=16, paths=4)
+    img_lock = render_image(ds, view,
+                            dataclasses.replace(cfg, intersector="lockstep"))
+    img_clus = render_image(ds, view, _cluster_cfg(cfg))
+    np.testing.assert_allclose(np.asarray(img_clus), np.asarray(img_lock),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_vertex_grad_cornell_finite_nonzero():
     """Full Cornell box: vertex grads must be finite and nonzero (FD equality
     is not well-posed here — silhouettes cross pixels)."""
