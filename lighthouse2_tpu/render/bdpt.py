@@ -346,7 +346,11 @@ def trace_paths_bdpt(scene, view: ViewPyramid, config: RenderConfig,
                 f_y, _ = _f_pdf(bsdf_mod, config, ysd, -yv["d_in"], -dir_zy)
                 pdf_y_toward_z_sa = _f_pdf(bsdf_mod, config, ysd,
                                            -yv["d_in"], -dir_zy)[1]
-                y_valid = yv["valid"]
+                # a light-walk vertex ON an emissive surface is a path
+                # terminal, not a reflector: connecting through it would
+                # treat radiance as albedo (its classes are exactly the
+                # (s-1, t) strategies' implicit endpoints — double count)
+                y_valid = yv["valid"] & ~yv["emissive"]
                 y_delta = yv["delta"]
                 y_beta = yv["beta"]
 

@@ -81,25 +81,41 @@ measure("no occlude", [
         o.shape[0], bool)),
 ])
 
-# 2. closest-hit trace stubbed (always hits prim 0 at t=1)
+# 2. closest-hit trace stubbed (always hits prim 0 at t=1, zero payload)
+from lighthouse2_tpu.bvh import clusters as CL
+
+
 def fake_intersect(scene, o, d, config, alive=None):
     n = o.shape[0]
     prim = jnp.zeros((n,), jnp.int32)
     t = jnp.ones((n,), jnp.float32)
     u = jnp.full((n,), 0.3, jnp.float32)
     v = jnp.full((n,), 0.3, jnp.float32)
-    return t, prim, u, v
+    payload = jnp.zeros((CL.PAY_ROWS, n), jnp.float32)
+    return t, prim, u, v, payload
 measure("no trace(closest)+refine", [(W, "_intersect", fake_intersect)])
 
-# 3. refine stubbed (keep kernel t,u,v)
+# 3. hit refinement stubbed (keep kernel t,u,v; both intersector paths)
 measure("no refine_hit", [
     (W, "refine_hit", lambda o, d, prim, tri9: (
         jnp.ones(o.shape[0], jnp.float32), jnp.zeros(o.shape[0], jnp.float32),
         jnp.zeros(o.shape[0], jnp.float32), prim >= 0)),
+    (W, "refine_hit_rows", lambda o, d, prim, g9: (
+        jnp.ones(o.shape[0], jnp.float32), jnp.zeros(o.shape[0], jnp.float32),
+        jnp.zeros(o.shape[0], jnp.float32), prim >= 0)),
 ])
 
-# 4. shading data stubbed
-def fake_sd(scene, d, t, prim, u, v, spread, consistent_normals=True):
+# 3b. per-pass material-row bake stubbed (cluster path only)
+measure("no bake_material_rows", [
+    (TK, "bake_material_rows", lambda cbvh, mpack: jnp.zeros(
+        (cbvh.pgeo.shape[0], CL.PAY_MAT_ROWS, CL.CLUSTER_LANES),
+        jnp.float32)),
+])
+
+
+# 4. shading data stubbed (covers payload + gather paths via make_shading)
+def fake_sd(scene, d, t, prim, u, v, spread, config=None, payload=None,
+            consistent_normals=True):
     n = d.shape[0]
     one = jnp.ones((n,), jnp.float32)
     zero = jnp.zeros((n,), jnp.float32)
@@ -113,7 +129,13 @@ def fake_sd(scene, d, t, prim, u, v, spread, consistent_normals=True):
         n_geom=nrm, n_interp=nrm, n_shading=nrm, face_dir=one,
         emissive=zero > 1, ltri=jnp.full((n,), -1, jnp.int32), area=one,
         uv=jnp.zeros((n, 2)), lod=zero, alpha_cutout=zero > 1)
-measure("no get_shading_data", [(W, "get_shading_data", fake_sd)])
+
+
+measure("no get_shading_data", [
+    (W, "make_shading",
+     lambda scene, d, t, prim, u, v, spread, config, payload=None:
+     fake_sd(scene, d, t, prim, u, v, spread)),
+])
 
 # 5. lights stubbed
 def fake_rpol(lights, r0, r1, i_pos, n):
