@@ -38,7 +38,12 @@ from flax import struct
 import jax.numpy as jnp
 
 CLUSTER_LANES = 128
-MAX_TOP_NODES = 512     # SMEM budget: 512*(32+8)B boxes+meta
+# SMEM budget: boxes+meta cost 40B/node -> 160KB at 4096. The cap bounds the
+# top tree; when it is too small, clusters grow to multiple 128-tri tiles and
+# every block pays the UNION of fat clusters (round-3 measurement: the
+# 100k-tri bathroom at the old 512 cap ran 11.4 s/pass; 128-tri clusters cut
+# the speculative work ~tpc-fold).
+MAX_TOP_NODES = 4096
 
 # bmat column blocks (each CLUSTER_LANES wide): the six linear forms
 BLK_TN, BLK_DN, BLK_OU, BLK_DU, BLK_OV, BLK_DV = range(6)
@@ -70,8 +75,11 @@ PAY_ROWS = PAY_GEO_ROWS + PAY_MAT_ROWS   # 64 — full payload height
 
 @struct.dataclass
 class ClusterBVH:
-    boxes: jnp.ndarray     # [M,8] f32 top-tree node bmin.xyz, bmax.xyz, pad
-    meta: jnp.ndarray      # [M,2] i32 (skip target, leaf cluster id or -1)
+    # COMPONENT-MAJOR top-tree arrays: SMEM pads the minor dimension to 128
+    # lanes, so [M,8] would cost 512 B/node (1 MB SMEM blown at ~2k nodes);
+    # [8,M] pads M once and costs 32 B/node.
+    boxes: jnp.ndarray     # [8,M] f32 rows bmin.xyz, bmax.xyz, pad, pad
+    meta: jnp.ndarray      # [2,M] i32 (skip target; leaf cluster id or -1)
     bmat: jnp.ndarray      # [C*TPC, 8, 768] f32 MXU intersection tiles
     pgeo: jnp.ndarray      # [C*TPC, 32, 128] f32 geometry payload tiles
     n_nodes: int = struct.field(pytree_node=False, default=0)
@@ -310,8 +318,8 @@ def cut_clusters(flat: dict, tri: dict,
             g[PAY_VALID, :m] = 1.0
 
     return ClusterBVH(
-        boxes=jnp.asarray(boxes),
-        meta=jnp.asarray(meta),
+        boxes=jnp.asarray(np.ascontiguousarray(boxes.T)),
+        meta=jnp.asarray(np.ascontiguousarray(meta.T)),
         bmat=jnp.asarray(bmat),
         pgeo=jnp.asarray(pgeo),
         n_nodes=kept,

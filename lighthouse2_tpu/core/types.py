@@ -61,6 +61,12 @@ class RenderConfig:
     # BLUENOISE (rendercore_optix7/core_settings.h): blue-noise sampler for
     # camera dims 0-3 (spp<256), NEE dims 4/5 (spp<2), BSDF dims 6/7 (spp<256)
     blue_noise: bool = False
+    # skydome IBL importance sampling (host_skydome.cpp:20-47 IBL define):
+    # the sky joins NEE as one extra light slot with CDF-table sampling and
+    # MIS-weighted implicit misses. Off by default (reference parity — the
+    # reference gates it behind a compile-time define too). Only active when
+    # the sky has >1 texel AND the scene built IBL tables at sync.
+    sky_ibl: bool = False
     kernel_interpret: bool = False     # run pallas kernels interpreted (tests)
     # order rays in 32x32 pixel tiles so each 1024-ray kernel block is
     # spatially coherent (packet traversal); auto-disabled unless w,h % 32

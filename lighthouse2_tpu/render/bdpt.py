@@ -87,7 +87,7 @@ def _to_area(pdf_sa, cos_at_target, dist2):
 
 
 def _walk(scene, config: RenderConfig, bsdf_mod, o, d, beta, pdf_fwd1_sa,
-          seed, depth, cos_from_prev=None):
+          seed, depth, cos_from_prev=None, pay_tiles=None):
     """Shared BSDF random walk (extendEyePath / extendLightPath analog).
 
     o/d: first segment ray; beta [N,3]: throughput arriving at vertex 1
@@ -107,7 +107,8 @@ def _walk(scene, config: RenderConfig, bsdf_mod, o, d, beta, pdf_fwd1_sa,
     verts = []
     misses = []
     for i in range(depth):
-        t, prim, u, v, payload = _intersect(scene, o, d, config, alive)
+        t, prim, u, v, payload = _intersect(scene, o, d, config, alive,
+                                            pay_tiles=pay_tiles)
         hit = alive & (prim >= 0)
         misses.append((alive & (prim < 0), beta, d))
         t = jnp.where(hit, t, 1.0)
@@ -235,12 +236,14 @@ def trace_paths_bdpt(scene, view: ViewPyramid, config: RenderConfig,
     s_e = min(EYE_DEPTH, config.max_path_length)
 
     # ---- eye subpath --------------------------------------------------------
+    from lighthouse2_tpu.render.wavefront import prepare_cluster_pay
+    pay_tiles = prepare_cluster_pay(scene, config)
     paths = generate_eye_rays(view, config, sample_base)
     eseed = rng_mod.raygen_seed(paths["path_idx"] ^ jnp.uint32(0x9E3779B9),
                                 jnp.asarray(sample_base, jnp.uint32))
     everts, emisses = _walk(scene, config, bsdf_mod, paths["origin"],
                             paths["dir"], paths["throughput"], None,
-                            eseed, s_e)
+                            eseed, s_e, pay_tiles=pay_tiles)
 
     # ---- light subpath ------------------------------------------------------
     lseed = rng_mod.raygen_seed(paths["path_idx"] ^ jnp.uint32(0x85EBCA6B),
@@ -267,7 +270,8 @@ def trace_paths_bdpt(scene, view: ViewPyramid, config: RenderConfig,
                          le["origin"] + geo_eps * le["normal"])
     lverts, _ = _walk(scene, config, bsdf_mod, l_origin, le["dir"],
                       jnp.where(y0["valid"][:, None], y1_beta, 0.0),
-                      le["pdf_dir"], lseed, s_l - 1, cos_from_prev=cos0)
+                      le["pdf_dir"], lseed, s_l - 1, cos_from_prev=cos0,
+                      pay_tiles=pay_tiles)
 
     acc = jnp.zeros((n, 4), jnp.float32)
     n_conn_rays = jnp.int32(0)

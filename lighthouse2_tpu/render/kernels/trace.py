@@ -59,12 +59,12 @@ def _walk_to_leaf(node, best, boxes_ref, meta_ref, n_nodes,
     enters, or to n_nodes. One slab test per node; the stop flag is carried
     so cond() does no vector work."""
     def slab(nd):
-        t0x = (boxes_ref[nd, 0] - ox) * ix
-        t1x = (boxes_ref[nd, 3] - ox) * ix
-        t0y = (boxes_ref[nd, 1] - oy) * iy
-        t1y = (boxes_ref[nd, 4] - oy) * iy
-        t0z = (boxes_ref[nd, 2] - oz) * iz
-        t1z = (boxes_ref[nd, 5] - oz) * iz
+        t0x = (boxes_ref[0, nd] - ox) * ix
+        t1x = (boxes_ref[3, nd] - ox) * ix
+        t0y = (boxes_ref[1, nd] - oy) * iy
+        t1y = (boxes_ref[4, nd] - oy) * iy
+        t0z = (boxes_ref[2, nd] - oz) * iz
+        t1z = (boxes_ref[5, nd] - oz) * iz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -81,9 +81,9 @@ def _walk_to_leaf(node, best, boxes_ref, meta_ref, n_nodes,
         nd, _ = c
         hit = slab(nd)
         anyh = jnp.any(hit)
-        is_leaf = meta_ref[nd, 1] >= 0
+        is_leaf = meta_ref[1, nd] >= 0
         hit_leaf = anyh & is_leaf
-        nxt = jnp.where(anyh & ~is_leaf, nd + 1, meta_ref[nd, 0])
+        nxt = jnp.where(anyh & ~is_leaf, nd + 1, meta_ref[0, nd])
         nxt = jnp.where(hit_leaf, nd, nxt)
         return nxt, hit_leaf | (nxt >= n_nodes)
 
@@ -145,16 +145,19 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                     t_idx = cid * tiles_per_cluster + j
                     bdma = pltpu.make_async_copy(bmat_ref.at[t_idx],
                                                  bscratch, bsem)
-                    pdma = pltpu.make_async_copy(pay_ref.at[t_idx],
-                                                 pscratch, psem)
                     bdma.start()
-                    pdma.start()
                     bdma.wait()
                     tm, tb = _intersect_tile(bscratch, X, best)
                     upd = tb < best
 
+                    # payload tile (32KB) is DMA'd ONLY when some ray's best
+                    # hit improved — most visits don't (bandwidth measured
+                    # dominant on 100k-tri scenes)
                     @pl.when(jnp.any(upd))
                     def _():
+                        pdma = pltpu.make_async_copy(pay_ref.at[t_idx],
+                                                     pscratch, psem)
+                        pdma.start()
                         # exclusive winner lane (smallest t, lowest lane)
                         ri = jax.lax.broadcasted_iota(
                             jnp.int32, (CLUSTER_LANES, BLOCK), 0)
@@ -169,10 +172,6 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                             precision=_PREC)          # [PAY_ROWS, 1024]
                         pay_out[sl] = jnp.where(upd, p_new, pay_out[sl])
 
-                    @pl.when(~jnp.any(upd))
-                    def _():
-                        pdma.wait()
-
                     return jnp.where(upd, tb, best)
                 return jax.lax.fori_loop(0, tiles_per_cluster, tile_body,
                                          best)
@@ -185,9 +184,9 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                 node = _walk_to_leaf(node, best, boxes_ref, meta_ref,
                                      n_nodes, ox, oy, oz, ix, iy, iz)
                 nd_c = jnp.minimum(node, n_nodes - 1)
-                cid = jnp.maximum(meta_ref[nd_c, 1], 0)
+                cid = jnp.maximum(meta_ref[1, nd_c], 0)
                 best = visit_cluster(cid, best)
-                return meta_ref[nd_c, 0], best
+                return meta_ref[0, nd_c], best
 
             _, best = jax.lax.while_loop(cond, body, (jnp.int32(0), tmax))
             # miss lanes keep t = tmax; row PAY_VALID of the OUTPUT carries t
@@ -241,9 +240,9 @@ def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                 node = _walk_to_leaf(node, tmax, boxes_ref, meta_ref,
                                      n_nodes, ox, oy, oz, ix, iy, iz)
                 nd_c = jnp.minimum(node, n_nodes - 1)
-                cid = jnp.maximum(meta_ref[nd_c, 1], 0)
+                cid = jnp.maximum(meta_ref[1, nd_c], 0)
                 occ = visit_cluster(cid, occ)
-                return meta_ref[nd_c, 0], occ
+                return meta_ref[0, nd_c], occ
 
             _, occ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), (tmax <= 0.0).astype(jnp.float32)))
@@ -317,13 +316,27 @@ def bake_material_rows(cbvh: ClusterBVH, mpack22):
     return jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
 
 
+def prepare_pay_tiles(bvh: ClusterBVH, paym):
+    """Concatenate the host-baked geometry payload with the device-baked
+    material rows ONCE per pass — the bounce loop then reuses the buffer
+    (bake + concat were measured at ~12 ms/pass when re-emitted per bounce,
+    STAGE_TIMES_r03.json)."""
+    if paym is None:
+        paym = jnp.zeros((bvh.pgeo.shape[0], PAY_MAT_ROWS, CLUSTER_LANES),
+                         jnp.float32)
+    return jnp.concatenate(
+        [jax.lax.stop_gradient(bvh.pgeo), jax.lax.stop_gradient(paym)],
+        axis=1)                                            # [CT, 64, 128]
+
+
 def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
-                      paym=None, interpret: bool = False):
+                      paym=None, pay_tiles=None, interpret: bool = False):
     """Closest-hit (or any-hit) of [N,3] rays against a ClusterBVH.
 
     Closest: returns (t [N], payload [PAY_ROWS, N]) — prim = payload[PAY_PRIM]
     (-1 on miss), shading attributes in the remaining rows (clusters.py PAY_*;
-    material rows filled iff `paym` from bake_material_rows is given).
+    material rows filled iff `paym` from bake_material_rows / `pay_tiles`
+    from prepare_pay_tiles is given).
     Anyhit: returns occluded bool [N].
     Non-differentiable — reattach gradients via render/fetch.reattach_rows."""
     o = jax.lax.stop_gradient(o)
@@ -353,11 +366,8 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
             occ = jax.lax.map(fn, x)
         return occ.reshape(-1)[:n] > 0.5
 
-    if paym is None:
-        paym = jnp.zeros((bvh.pgeo.shape[0], PAY_MAT_ROWS, CLUSTER_LANES),
-                         jnp.float32)
-    pay_tiles = jnp.concatenate(
-        [bvh.pgeo, jax.lax.stop_gradient(paym)], axis=1)   # [CT, 64, 128]
+    if pay_tiles is None:
+        pay_tiles = prepare_pay_tiles(bvh, paym)
     fn = functools.partial(
         _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, pay_tiles,
         n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,

@@ -42,71 +42,87 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv, d2
 
 
+def _present(lights: DeviceLights):
+    """Static per-type presence flags. When a type is present its padded
+    shape equals its true count (device_scene pads to max(1, count)), so the
+    runtime `n_*` masks are unnecessary and absent types compile away
+    entirely — each dead type cost ~15% of the NEE stage on
+    area-light-only scenes (cornell/bathroom)."""
+    return (getattr(lights, "s_tri", 1) > 0,
+            getattr(lights, "s_point", 1) > 0,
+            getattr(lights, "s_spot", 1) > 0,
+            getattr(lights, "s_dir", 1) > 0)
+
+
 def potential_contributions(lights: DeviceLights, i_pos, n,
                             area_point=None):
-    """Potential light contributions [L_total, N] from surface points i_pos
+    """Potential light contributions [L_eff, N] from surface points i_pos
     [N,3] with normals n [N,3]. `area_point` (optional) gives per-ray target
     points on every area light as component rows ([LT,N] x, y, z); default is
     the light centre (the reference's bary.x<0 path, lights_shared.h:46).
 
-    Returns (potential [LTot, N], layout tuple (lt, lp, ls, ld)).
+    Returns (potential [L_eff, N], effective layout tuple (lt, lp, ls, ld))
+    — absent light types contribute ZERO rows (statically skipped).
     """
-    lt = lights.tri_v0.shape[0]
-    lp = lights.point_pos.shape[0]
-    ls = lights.spot_pos.shape[0]
-    ld = lights.dir_dir.shape[0]
+    has_a, has_p, has_s, has_d = _present(lights)
+    lt = lights.tri_v0.shape[0] if has_a else 0
+    lp = lights.point_pos.shape[0] if has_p else 0
+    ls = lights.spot_pos.shape[0] if has_s else 0
+    ld = lights.dir_dir.shape[0] if has_d else 0
 
     ix, iy, iz = _rows(i_pos)
     nx, ny, nz = _rows(n)
+    n_rays = ix.shape[1]
+    blocks = []
 
     # area lights (PotentialAreaLightContribution, lights_shared.h:36-58)
-    if area_point is not None:
-        tx, ty, tz = area_point
-    else:
-        cx, cy, cz = _comps(lights.tri_centre)
-        tx, ty, tz = (jnp.broadcast_to(c, (lt, ix.shape[1]))
-                      for c in (cx, cy, cz))
-    lx, ly, lz = tx - ix, ty - iy, tz - iz
-    lx, ly, lz, d2 = _normalize3(lx, ly, lz)
-    att = 1.0 / jnp.maximum(d2, 1e-12)
-    tnx, tny, tnz = _comps(lights.tri_n)
-    ln_dot_l = jnp.maximum(0.0, -(tnx * lx + tny * ly + tnz * lz))
-    n_dot_l = jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
-    pot_area = lights.tri_energy[:, None] * ln_dot_l * n_dot_l * att
-    pot_area = jnp.where(jnp.arange(lt)[:, None] < lights.n_tri, pot_area, 0.0)
+    if has_a:
+        if area_point is not None:
+            tx, ty, tz = area_point
+        else:
+            cx, cy, cz = _comps(lights.tri_centre)
+            tx, ty, tz = (jnp.broadcast_to(c, (lt, n_rays))
+                          for c in (cx, cy, cz))
+        lx, ly, lz = tx - ix, ty - iy, tz - iz
+        lx, ly, lz, d2 = _normalize3(lx, ly, lz)
+        att = 1.0 / jnp.maximum(d2, 1e-12)
+        tnx, tny, tnz = _comps(lights.tri_n)
+        ln_dot_l = jnp.maximum(0.0, -(tnx * lx + tny * ly + tnz * lz))
+        n_dot_l = jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
+        blocks.append(lights.tri_energy[:, None] * ln_dot_l * n_dot_l * att)
 
     # point lights (lights_shared.h:64-73)
-    px, py, pz = _comps(lights.point_pos)
-    lx, ly, lz = px - ix, py - iy, pz - iz
-    lx, ly, lz, d2 = _normalize3(lx, ly, lz)
-    pot_point = (lights.point_energy[:, None]
-                 * jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
-                 / jnp.maximum(d2, 1e-12))
-    pot_point = jnp.where(jnp.arange(lp)[:, None] < lights.n_point,
-                          pot_point, 0.0)
+    if has_p:
+        px, py, pz = _comps(lights.point_pos)
+        lx, ly, lz = px - ix, py - iy, pz - iz
+        lx, ly, lz, d2 = _normalize3(lx, ly, lz)
+        blocks.append(lights.point_energy[:, None]
+                      * jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
+                      / jnp.maximum(d2, 1e-12))
 
     # spot lights (lights_shared.h:79-92)
-    sx, sy, sz = _comps(lights.spot_pos)
-    lx, ly, lz = sx - ix, sy - iy, sz - iz
-    lx, ly, lz, d2 = _normalize3(lx, ly, lz)
-    dx, dy, dz = _comps(lights.spot_dir)
-    fall = (jnp.maximum(0.0, -(lx * dx + ly * dy + lz * dz))
-            - lights.spot_cos_outer[:, None]) / jnp.maximum(
-                (lights.spot_cos_inner - lights.spot_cos_outer)[:, None], 1e-6)
-    pot_spot = (lights.spot_energy[:, None] * jnp.clip(fall, 0.0, 1.0)
-                * jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
-                / jnp.maximum(d2, 1e-12))
-    pot_spot = jnp.where(jnp.arange(ls)[:, None] < lights.n_spot,
-                         pot_spot, 0.0)
+    if has_s:
+        sx, sy, sz = _comps(lights.spot_pos)
+        lx, ly, lz = sx - ix, sy - iy, sz - iz
+        lx, ly, lz, d2 = _normalize3(lx, ly, lz)
+        dx, dy, dz = _comps(lights.spot_dir)
+        fall = (jnp.maximum(0.0, -(lx * dx + ly * dy + lz * dz))
+                - lights.spot_cos_outer[:, None]) / jnp.maximum(
+                    (lights.spot_cos_inner
+                     - lights.spot_cos_outer)[:, None], 1e-6)
+        blocks.append(lights.spot_energy[:, None] * jnp.clip(fall, 0.0, 1.0)
+                      * jnp.maximum(0.0, nx * lx + ny * ly + nz * lz)
+                      / jnp.maximum(d2, 1e-12))
 
     # directional lights (lights_shared.h:100-107)
-    dx, dy, dz = _comps(lights.dir_dir)
-    pot_dir = lights.dir_energy[:, None] * jnp.maximum(
-        0.0, -(nx * dx + ny * dy + nz * dz))
-    pot_dir = jnp.where(jnp.arange(ld)[:, None] < lights.n_dir, pot_dir, 0.0)
+    if has_d:
+        dx, dy, dz = _comps(lights.dir_dir)
+        blocks.append(lights.dir_energy[:, None] * jnp.maximum(
+            0.0, -(nx * dx + ny * dy + nz * dz)))
 
-    return (jnp.concatenate([pot_area, pot_point, pot_spot, pot_dir], axis=0),
-            (lt, lp, ls, ld))
+    if not blocks:
+        return jnp.zeros((0, n_rays)), (0, 0, 0, 0)
+    return jnp.concatenate(blocks, axis=0), (lt, lp, ls, ld)
 
 
 def calculate_light_pdf(d, t, light_area, light_normal):
@@ -120,11 +136,16 @@ def _pick_row(mat, idx):
     return jnp.sum(jnp.where(oh, mat, 0.0), axis=0)
 
 
-def light_pick_prob(lights: DeviceLights, ltri_idx, o, last_n, i_pos):
+def light_pick_prob(lights: DeviceLights, ltri_idx, o, last_n, i_pos,
+                    sky=None):
     """MIS pick probability for an implicit area-light hit
     (lights_shared.h:123-138): potentials from the PREVIOUS vertex o/last_n,
     area lights evaluated toward the actual hit point i_pos (bary.x<0 path
-    uses L=I)."""
+    uses L=I). When the sky is an NEE light (sky given, IBL on), its
+    potential joins the normalization so pick probabilities stay a
+    partition of unity across ALL light slots."""
+    if not _present(lights)[0]:        # no area lights -> no implicit hits
+        return jnp.zeros(i_pos.shape[0])
     lt = lights.tri_v0.shape[0]
     hx, hy, hz = _rows(i_pos)
     n = i_pos.shape[0]
@@ -132,35 +153,67 @@ def light_pick_prob(lights: DeviceLights, ltri_idx, o, last_n, i_pos):
               jnp.broadcast_to(hz, (lt, n)))
     pot, _ = potential_contributions(lights, o, last_n, area_point=target)
     s = jnp.sum(pot, axis=0)
+    if sky is not None and getattr(sky, "has_ibl", False):
+        s = s + sky.nee_energy
     p = _pick_row(pot, jnp.clip(ltri_idx, 0, pot.shape[0] - 1))
     return jnp.where(s > 0, p / jnp.where(s > 0, s, 1.0), 0.0)
 
 
-def random_point_on_light(lights: DeviceLights, r0, r1, i_pos, n):
-    """RandomPointOnLight (lights_shared.h:172-261), vectorized.
+def sky_pick_prob(lights: DeviceLights, sky, o, last_n):
+    """Probability that NEE at the PREVIOUS vertex picked the sky slot —
+    the skydome counterpart of light_pick_prob for MIS on implicit sky
+    hits (misses)."""
+    pot, _ = potential_contributions(lights, o, last_n)
+    s = jnp.sum(pot, axis=0) + sky.nee_energy
+    return jnp.where(s > 0, sky.nee_energy / jnp.where(s > 0, s, 1.0), 0.0)
+
+
+def random_point_on_light(lights: DeviceLights, r0, r1, i_pos, n,
+                          sky=None, r2=None, r3=None):
+    """RandomPointOnLight (lights_shared.h:172-261), vectorized; absent
+    light types are statically skipped (see _present).
+
+    `sky` (DeviceSky with IBL tables) adds the skydome as one extra slot of
+    the pick CDF: picked lanes importance-sample a direction from the sky
+    CDFs (consuming r2/r3) and return a virtual point at
+    DIR_LIGHT_DISTANCE with the solid-angle pdf — the IBL define of
+    host_skydome.cpp:20-47 made a first-class light.
 
     Returns dict(point [N,3], light_pdf [N], pick_prob [N], color [N,3],
     ltri [N] — the picked area-light slot, or -1 for delta lights).
     """
-    lt = lights.tri_v0.shape[0]
-    lp = lights.point_pos.shape[0]
-    ls = lights.spot_pos.shape[0]
-    ld = lights.dir_dir.shape[0]
+    has_a, has_p, has_s, has_d = _present(lights)
+    has_sky = sky is not None and getattr(sky, "has_ibl", False)
     n_rays = i_pos.shape[0]
+    zero = jnp.zeros((n_rays,))
+    if not (has_a or has_p or has_s or has_d or has_sky):
+        return dict(point=i_pos + 1.0, light_pdf=zero, pick_prob=zero,
+                    color=jnp.zeros((n_rays, 3)),
+                    ltri=jnp.full((n_rays,), -1, jnp.int32))
+    lt = lights.tri_v0.shape[0] if has_a else 0
+    lp = lights.point_pos.shape[0] if has_p else 0
+    ls = lights.spot_pos.shape[0] if has_s else 0
+    ld = lights.dir_dir.shape[0] if has_d else 0
 
-    bu, bv = random_barycentrics(r0)
-    bw = 1.0 - bu - bv
-    # bary-sampled point on EVERY area light: [LT,N] per component
-    v0x, v0y, v0z = _comps(lights.tri_v0)
-    v1x, v1y, v1z = _comps(lights.tri_v1)
-    v2x, v2y, v2z = _comps(lights.tri_v2)
-    bu_, bv_, bw_ = bu[None], bv[None], bw[None]
-    ptx = bu_ * v0x + bv_ * v1x + bw_ * v2x
-    pty = bu_ * v0y + bv_ * v1y + bw_ * v2y
-    ptz = bu_ * v0z + bv_ * v1z + bw_ * v2z
+    if has_a:
+        bu, bv = random_barycentrics(r0)
+        bw = 1.0 - bu - bv
+        # bary-sampled point on EVERY area light: [LT,N] per component
+        v0x, v0y, v0z = _comps(lights.tri_v0)
+        v1x, v1y, v1z = _comps(lights.tri_v1)
+        v2x, v2y, v2z = _comps(lights.tri_v2)
+        bu_, bv_, bw_ = bu[None], bv[None], bw[None]
+        ptx = bu_ * v0x + bv_ * v1x + bw_ * v2x
+        pty = bu_ * v0y + bv_ * v1y + bw_ * v2y
+        ptz = bu_ * v0z + bv_ * v1z + bw_ * v2z
+        area_pt = (ptx, pty, ptz)
+    else:
+        area_pt = None
 
-    pot, _ = potential_contributions(lights, i_pos, n,
-                                     area_point=(ptx, pty, ptz))
+    pot, _ = potential_contributions(lights, i_pos, n, area_point=area_pt)
+    if has_sky:
+        pot = jnp.concatenate(
+            [pot, jnp.broadcast_to(sky.nee_energy, (1, n_rays))], axis=0)
     s = jnp.sum(pot, axis=0)
     cdf = jnp.cumsum(pot, axis=0)
     rs = (r1 * s)[None]
@@ -168,15 +221,6 @@ def random_point_on_light(lights: DeviceLights, r0, r1, i_pos, n):
     pick = jnp.clip(pick, 0, pot.shape[0] - 1)
     pick_prob = _pick_row(pot, pick) / jnp.where(s > 0, s, 1.0)
     pick_prob = jnp.where(s > 0, pick_prob, 0.0)
-
-    is_area = pick < lt
-    is_point = (pick >= lt) & (pick < lt + lp)
-    is_spot = (pick >= lt + lp) & (pick < lt + lp + ls)
-
-    a_i = jnp.clip(pick, 0, lt - 1)
-    p_i = jnp.clip(pick - lt, 0, lp - 1)
-    s_i = jnp.clip(pick - lt - lp, 0, ls - 1)
-    d_i = jnp.clip(pick - lt - lp - ls, 0, ld - 1)
 
     ix, iy, iz = i_pos[:, 0], i_pos[:, 1], i_pos[:, 2]
     nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
@@ -186,67 +230,108 @@ def random_point_on_light(lights: DeviceLights, r0, r1, i_pos, n):
         (component-major gather — the fast TPU pattern)."""
         return const_k3.T[:, idx]
 
-    # area light sample (lights_shared.h:205-221)
-    pax = _pick_row(ptx, a_i)
-    pay = _pick_row(pty, a_i)
-    paz = _pick_row(ptz, a_i)
-    lrx, lry, lrz = ix - pax, iy - pay, iz - paz
-    lrx_n, lry_n, lrz_n, sq = _normalize3(lrx, lry, lrz)
-    tn = g(lights.tri_n, a_i)
-    ln_dot_l = lrx_n * tn[0] + lry_n * tn[1] + lrz_n * tn[2]
-    to_n = lrx_n * nx + lry_n * ny + lrz_n * nz
-    area_ok = (ln_dot_l > 0) & (to_n < 0)
-    den = lights.tri_area[a_i] * ln_dot_l
-    pdf_area = jnp.where(area_ok, sq / jnp.where(
-        area_ok, jnp.maximum(den, 1e-30), 1.0), 0.0)
+    # accumulated outputs; each present type overlays its picked lanes
+    px, py, pz = ix + 1.0, iy, iz          # finite dummy (pdf=0 lanes)
+    light_pdf = zero
+    col = [zero, zero, zero]
+    ltri = jnp.full((n_rays,), -1, jnp.int32)
 
-    # point light (lights_shared.h:224-233). NOTE: the reference shadows its
-    # lightColor output here (uninitialized for point lights) — we return the
-    # radiance, the obviously-intended behavior.
-    pp = g(lights.point_pos, p_i)
-    lrx, lry, lrz = ix - pp[0], iy - pp[1], iz - pp[2]
-    lrx_n, lry_n, lrz_n, sq_p = _normalize3(lrx, lry, lrz)
-    pdf_point = jnp.where(lrx_n * nx + lry_n * ny + lrz_n * nz < 0, sq_p, 0.0)
+    if has_a:
+        is_area = pick < lt
+        a_i = jnp.clip(pick, 0, lt - 1)
+        # area light sample (lights_shared.h:205-221)
+        pax = _pick_row(ptx, a_i)
+        pay = _pick_row(pty, a_i)
+        paz = _pick_row(ptz, a_i)
+        lrx, lry, lrz = ix - pax, iy - pay, iz - paz
+        lrx_n, lry_n, lrz_n, sq = _normalize3(lrx, lry, lrz)
+        tn = g(lights.tri_n, a_i)
+        ln_dot_l = lrx_n * tn[0] + lry_n * tn[1] + lrz_n * tn[2]
+        to_n = lrx_n * nx + lry_n * ny + lrz_n * nz
+        area_ok = (ln_dot_l > 0) & (to_n < 0)
+        den = lights.tri_area[a_i] * ln_dot_l
+        pdf_area = jnp.where(area_ok, sq / jnp.where(
+            area_ok, jnp.maximum(den, 1e-30), 1.0), 0.0)
+        ca = g(lights.tri_radiance, a_i)
+        px = jnp.where(is_area, pax, px)
+        py = jnp.where(is_area, pay, py)
+        pz = jnp.where(is_area, paz, pz)
+        light_pdf = jnp.where(is_area, pdf_area, light_pdf)
+        col = [jnp.where(is_area, ca[c], col[c]) for c in range(3)]
+        ltri = jnp.where(is_area, a_i, ltri)
 
-    # spot light (lights_shared.h:236-250)
-    sp = g(lights.spot_pos, s_i)
-    sd = g(lights.spot_dir, s_i)
-    lrx, lry, lrz = ix - sp[0], iy - sp[1], iz - sp[2]
-    lrx_n, lry_n, lrz_n, sq_s = _normalize3(lrx, lry, lrz)
-    ci = lights.spot_cos_inner[s_i]
-    co = lights.spot_cos_outer[s_i]
-    dfall = (jnp.maximum(0.0, lrx_n * sd[0] + lry_n * sd[1] + lrz_n * sd[2])
-             - co) / jnp.maximum(ci - co, 1e-6)
-    ln_dot_l_s = jnp.minimum(1.0, dfall)
-    spot_ok = (ln_dot_l_s > 0) & (lrx_n * nx + lry_n * ny + lrz_n * nz < 0)
-    pdf_spot = jnp.where(spot_ok, sq_s / jnp.where(
-        spot_ok, jnp.maximum(ln_dot_l_s, 1e-30), 1.0), 0.0)
+    if has_p:
+        is_point = (pick >= lt) & (pick < lt + lp)
+        p_i = jnp.clip(pick - lt, 0, lp - 1)
+        # point light (lights_shared.h:224-233). NOTE: the reference shadows
+        # its lightColor output here (uninitialized for point lights) — we
+        # return the radiance, the obviously-intended behavior.
+        pp = g(lights.point_pos, p_i)
+        lrx, lry, lrz = ix - pp[0], iy - pp[1], iz - pp[2]
+        lrx_n, lry_n, lrz_n, sq_p = _normalize3(lrx, lry, lrz)
+        pdf_point = jnp.where(lrx_n * nx + lry_n * ny + lrz_n * nz < 0,
+                              sq_p, 0.0)
+        cp = g(lights.point_radiance, p_i)
+        px = jnp.where(is_point, pp[0], px)
+        py = jnp.where(is_point, pp[1], py)
+        pz = jnp.where(is_point, pp[2], pz)
+        light_pdf = jnp.where(is_point, pdf_point, light_pdf)
+        col = [jnp.where(is_point, cp[c], col[c]) for c in range(3)]
 
-    # directional light (lights_shared.h:253-259)
-    dd = g(lights.dir_dir, d_i)
-    pdx = ix - DIR_LIGHT_DISTANCE * dd[0]
-    pdy = iy - DIR_LIGHT_DISTANCE * dd[1]
-    pdz = iz - DIR_LIGHT_DISTANCE * dd[2]
-    pdf_dir = jnp.where(dd[0] * nx + dd[1] * ny + dd[2] * nz < 0, 1.0, 0.0)
+    if has_s:
+        is_spot = (pick >= lt + lp) & (pick < lt + lp + ls)
+        s_i = jnp.clip(pick - lt - lp, 0, ls - 1)
+        # spot light (lights_shared.h:236-250)
+        sp = g(lights.spot_pos, s_i)
+        sd = g(lights.spot_dir, s_i)
+        lrx, lry, lrz = ix - sp[0], iy - sp[1], iz - sp[2]
+        lrx_n, lry_n, lrz_n, sq_s = _normalize3(lrx, lry, lrz)
+        ci = lights.spot_cos_inner[s_i]
+        co = lights.spot_cos_outer[s_i]
+        dfall = (jnp.maximum(0.0, lrx_n * sd[0] + lry_n * sd[1]
+                             + lrz_n * sd[2]) - co) / jnp.maximum(
+                                 ci - co, 1e-6)
+        ln_dot_l_s = jnp.minimum(1.0, dfall)
+        spot_ok = (ln_dot_l_s > 0) & (lrx_n * nx + lry_n * ny
+                                      + lrz_n * nz < 0)
+        pdf_spot = jnp.where(spot_ok, sq_s / jnp.where(
+            spot_ok, jnp.maximum(ln_dot_l_s, 1e-30), 1.0), 0.0)
+        cs = g(lights.spot_radiance, s_i)
+        px = jnp.where(is_spot, sp[0], px)
+        py = jnp.where(is_spot, sp[1], py)
+        pz = jnp.where(is_spot, sp[2], pz)
+        light_pdf = jnp.where(is_spot, pdf_spot, light_pdf)
+        col = [jnp.where(is_spot, cs[c], col[c]) for c in range(3)]
 
-    def sel(m, a, b):
-        return jnp.where(m, a, b)
+    if has_d:
+        is_dir = pick >= lt + lp + ls
+        d_i = jnp.clip(pick - lt - lp - ls, 0, ld - 1)
+        # directional light (lights_shared.h:253-259)
+        dd = g(lights.dir_dir, d_i)
+        pdx = ix - DIR_LIGHT_DISTANCE * dd[0]
+        pdy = iy - DIR_LIGHT_DISTANCE * dd[1]
+        pdz = iz - DIR_LIGHT_DISTANCE * dd[2]
+        pdf_dir = jnp.where(dd[0] * nx + dd[1] * ny + dd[2] * nz < 0,
+                            1.0, 0.0)
+        cd = g(lights.dir_radiance, d_i)
+        px = jnp.where(is_dir, pdx, px)
+        py = jnp.where(is_dir, pdy, py)
+        pz = jnp.where(is_dir, pdz, pz)
+        light_pdf = jnp.where(is_dir, pdf_dir, light_pdf)
+        col = [jnp.where(is_dir, cd[c], col[c]) for c in range(3)]
 
-    px = sel(is_area, pax, sel(is_point, pp[0], sel(is_spot, sp[0], pdx)))
-    py = sel(is_area, pay, sel(is_point, pp[1], sel(is_spot, sp[1], pdy)))
-    pz = sel(is_area, paz, sel(is_point, pp[2], sel(is_spot, sp[2], pdz)))
-    light_pdf = sel(is_area, pdf_area,
-                    sel(is_point, pdf_point, sel(is_spot, pdf_spot, pdf_dir)))
-
-    ca = g(lights.tri_radiance, a_i)
-    cp = g(lights.point_radiance, p_i)
-    cs = g(lights.spot_radiance, s_i)
-    cd = g(lights.dir_radiance, d_i)
-    col = [sel(is_area, ca[c], sel(is_point, cp[c], sel(is_spot, cs[c], cd[c])))
-           for c in range(3)]
+    if has_sky:
+        from lighthouse2_tpu.render.sky import sample_sky
+        is_sky = pick >= lt + lp + ls + ld        # last slot
+        ss = sample_sky(sky, r2, r3)
+        px = jnp.where(is_sky, ix + DIR_LIGHT_DISTANCE * ss["dir"][:, 0], px)
+        py = jnp.where(is_sky, iy + DIR_LIGHT_DISTANCE * ss["dir"][:, 1], py)
+        pz = jnp.where(is_sky, iz + DIR_LIGHT_DISTANCE * ss["dir"][:, 2], pz)
+        light_pdf = jnp.where(is_sky, ss["pdf"], light_pdf)
+        col = [jnp.where(is_sky, ss["radiance"][:, c], col[c])
+               for c in range(3)]
 
     light_pdf = jnp.where(s > 0, light_pdf, 0.0)
-    ltri = jnp.where(is_area, a_i, -1)
     return dict(point=jnp.stack([px, py, pz], axis=-1),
                 light_pdf=light_pdf, pick_prob=pick_prob,
                 color=jnp.stack(col, axis=-1), ltri=ltri)

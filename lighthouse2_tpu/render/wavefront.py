@@ -34,8 +34,9 @@ from lighthouse2_tpu.render import bsdf_lambert
 from lighthouse2_tpu.render.shading import get_shading_data
 from lighthouse2_tpu.render.lights import (
     random_point_on_light, light_pick_prob, calculate_light_pdf,
+    sky_pick_prob,
 )
-from lighthouse2_tpu.render.sky import sample_skydome
+from lighthouse2_tpu.render.sky import sample_skydome, sky_pdf
 from lighthouse2_tpu.scene.device_scene import DeviceScene
 from lighthouse2_tpu.bvh.traverse import (
     bvh_intersect, bvh_occluded, refine_hit, refine_hit_rows,
@@ -227,7 +228,24 @@ def _pick_intersector(scene: DeviceScene, config: RenderConfig) -> str:
     return mode
 
 
-def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None):
+def prepare_cluster_pay(scene: DeviceScene, config: RenderConfig):
+    """Per-pass payload-tile prep for the cluster intersector (material rows
+    device-baked from the LIVE materials + concat with host geometry rows).
+    Returns None on the other intersector paths. Call ONCE per pass and
+    thread into _intersect — re-emitting it per bounce measured ~12 ms/pass
+    (STAGE_TIMES_r03.json)."""
+    if _pick_intersector(scene, config) != "cluster":
+        return None
+    from lighthouse2_tpu.render.kernels.trace import (
+        bake_material_rows, prepare_pay_tiles)
+    from lighthouse2_tpu.render.shading import material_pack
+    paym = bake_material_rows(
+        scene.cbvh, jax.lax.stop_gradient(material_pack(scene.materials)))
+    return prepare_pay_tiles(scene.cbvh, paym)
+
+
+def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None,
+               pay_tiles=None):
     """Closest hit. `alive` masks dead wavefront lanes with tmax=0 so the
     trace kernels skip them entirely (static-shape stream compaction).
 
@@ -240,14 +258,13 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None):
         jax.lax.stop_gradient(alive), BIG_T, 0.0)
     payload = None
     if mode == "cluster":
-        from lighthouse2_tpu.render.kernels.trace import (
-            trace_cluster_bvh, bake_material_rows)
-        from lighthouse2_tpu.render.shading import material_pack
+        from lighthouse2_tpu.render.kernels.trace import trace_cluster_bvh
         from lighthouse2_tpu.render.fetch import reattach_rows
         from lighthouse2_tpu.bvh import clusters as CL
-        paym = bake_material_rows(
-            scene.cbvh, jax.lax.stop_gradient(material_pack(scene.materials)))
-        t, payload = trace_cluster_bvh(o, d, scene.cbvh, t_max, paym=paym,
+        if pay_tiles is None:
+            pay_tiles = prepare_cluster_pay(scene, config)
+        t, payload = trace_cluster_bvh(o, d, scene.cbvh, t_max,
+                                       pay_tiles=pay_tiles,
                                        interpret=config.kernel_interpret)
         prim = jnp.where(payload[CL.PAY_PRIM] >= 0.0,
                          payload[CL.PAY_PRIM].astype(jnp.int32), -1)
@@ -332,13 +349,16 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
         shadow_rays=jnp.zeros((config.max_path_length,), jnp.int32) + zi0,
     )
 
+    pay_tiles = prepare_cluster_pay(scene, config)
+
     def bounce(carry, li):
         paths, acc, cam_seed, stats = carry
         n_alive = jnp.sum(paths["alive"].astype(jnp.int32))
         stats = dict(stats,
                      extension_rays=stats["extension_rays"].at[li].set(n_alive))
         paths, acc, cam_seed, n_conn = bounce_step(
-            scene, view, config, paths, acc, cam_seed, li)
+            scene, view, config, paths, acc, cam_seed, li,
+            pay_tiles=pay_tiles)
         stats = dict(stats, shadow_rays=stats["shadow_rays"].at[li].set(n_conn))
         return (paths, acc, cam_seed, stats), None
 
@@ -348,7 +368,8 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
     return _finish_pass(config, paths, acc, stats, path_idx, cam_seed)
 
 
-def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li):
+def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
+                pay_tiles=None):
     """One full bounce (trace + shade + occlude + apply), skipped via
     `lax.cond` when every lane is dead — the bounce-level analog of the
     reference terminating its loop when counters.extensionRays == 0
@@ -360,7 +381,8 @@ def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li):
         paths, acc, cam_seed = carry
         t, prim, u, v, payload = _intersect(scene, paths["origin"],
                                             paths["dir"], config,
-                                            paths["alive"])
+                                            paths["alive"],
+                                            pay_tiles=pay_tiles)
         paths2, acc2, cam_seed2, shadow = shade_bounce(
             scene, view, config, paths, acc, cam_seed, li, t, prim, u, v,
             payload=payload)
@@ -438,9 +460,21 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
         jnp.where(is_primary & alive, depth, 0.0))
 
     # ---- shade: sky on miss (pathtracer.h:84-91) -----------------------
+    use_sky_nee = config.sky_ibl and getattr(scene.sky, "has_ibl", False)
     miss = alive & (prim < 0)
-    sky_c = _masked_div(paths["throughput"] * sample_skydome(scene.sky, d),
-                        bsdf_pdf, miss)
+    if use_sky_nee:
+        # MIS vs the sky-NEE strategy (the IBL analog of the implicit
+        # area-light hit weighting, pathtracer.h:136-142); specular chains
+        # keep the bsdf-only weight exactly like area lights
+        p_sky = sky_pick_prob(scene.lights, scene.sky, o, paths["last_n"])
+        denom_sky = bsdf_pdf + sky_pdf(scene.sky, d) * p_sky
+        sky_rad = paths["throughput"] * sample_skydome(scene.sky, d)
+        sky_mis = _masked_div(sky_rad, denom_sky, miss)
+        sky_spec = _masked_div(sky_rad, bsdf_pdf, miss)
+        sky_c = jnp.where(paths["prev_specular"][:, None], sky_spec, sky_mis)
+    else:
+        sky_c = _masked_div(paths["throughput"] * sample_skydome(scene.sky, d),
+                            bsdf_pdf, miss)
     sky_c = _fixnan(_clamp_intensity(sky_c, config.clamp_value)
                     if config.clamp_fireflies else sky_c)
 
@@ -475,7 +509,8 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
     ddotnl = -dot(d, sd.n_geom)
     lit = hit & sd.emissive & (ddotnl > 0)
     l_pdf = calculate_light_pdf(d, t, sd.area, sd.n_geom)
-    pick_p = light_pick_prob(scene.lights, sd.ltri, o, paths["last_n"], i_pos)
+    pick_p = light_pick_prob(scene.lights, sd.ltri, o, paths["last_n"], i_pos,
+                             sky=scene.sky if use_sky_nee else None)
     denom_mis = bsdf_pdf + l_pdf * pick_p
     c_mis = _masked_div(throughput * sd.color, denom_mis,
                         lit & (denom_mis > 0))
@@ -534,7 +569,13 @@ def shade_bounce(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
     r0 = bn_or(r0, 4, 2)
     r1 = bn_or(r1, 5, 2)
     nee_mask = active & ~cur_spec
-    ls = random_point_on_light(scene.lights, r0, r1, i_pos, fn_flip)
+    if use_sky_nee:
+        seed, r6 = rng_mod.random_float(seed)
+        seed, r7 = rng_mod.random_float(seed)
+        ls = random_point_on_light(scene.lights, r0, r1, i_pos, fn_flip,
+                                   sky=scene.sky, r2=r6, r3=r7)
+    else:
+        ls = random_point_on_light(scene.lights, r0, r1, i_pos, fn_flip)
     l_vec = ls["point"] - i_pos
     dist = jnp.sqrt(jnp.maximum(dot(l_vec, l_vec), 1e-20))
     l_dir = l_vec / dist[:, None]
@@ -659,8 +700,13 @@ def _stage_generate(view, sample_base, config):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _stage_trace(scene, o, d, alive, config):
-    return _intersect(scene, o, d, config, alive)
+def _stage_prepare(scene, config):
+    return prepare_cluster_pay(scene, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_trace(scene, o, d, alive, config, pay_tiles=None):
+    return _intersect(scene, o, d, config, alive, pay_tiles=pay_tiles)
 
 
 @functools.partial(jax.jit, static_argnames=("config",),
@@ -711,10 +757,11 @@ def render_pass_staged(scene: DeviceScene, view: ViewPyramid,
     cam_seed = state.cam_seed
     ext_counts = []
     conn_counts = []
+    pay_tiles = _stage_prepare(scene, config)
     for li in range(config.max_path_length):
         t, prim, u, v, payload = _stage_trace(scene, paths["origin"],
                                               paths["dir"], paths["alive"],
-                                              config)
+                                              config, pay_tiles)
         paths, acc, cam_seed, shadow, n_alive, n_conn = _stage_shade(
             scene, view, paths, acc, cam_seed, jnp.int32(li), t, prim, u, v,
             config, payload=payload)
@@ -749,10 +796,12 @@ def trace_paths_unrolled(scene, view, config: RenderConfig, state: AccumState):
         paths["g_wpos"] = jnp.full((n, 3), 1e30, jnp.float32)
     cam_seed = state.cam_seed
     ext, conn = [], []
+    pay_tiles = prepare_cluster_pay(scene, config)
     for li in range(config.max_path_length):
         ext.append(jnp.sum(paths["alive"].astype(jnp.int32)))
         paths, acc, cam_seed, n_conn = bounce_step(
-            scene, view, config, paths, acc, cam_seed, jnp.int32(li))
+            scene, view, config, paths, acc, cam_seed, jnp.int32(li),
+            pay_tiles=pay_tiles)
         conn.append(n_conn)
     stats = dict(extension_rays=jnp.stack(ext), shadow_rays=jnp.stack(conn))
     return _finish_pass(config, paths, acc, stats, None, cam_seed)

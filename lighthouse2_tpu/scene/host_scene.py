@@ -314,9 +314,18 @@ class HostScene:
         materials = DeviceMaterials(**{k: jnp.asarray(v) for k, v in mats_np.items()})
         lights = build_lights_np(
             tri_lights, self.point_lights, self.spot_lights, self.dir_lights)
-        sky = DeviceSky(pixels=jnp.asarray(
-            self.sky_pixels if self.sky_pixels is not None
-            else np.zeros((1, 1, 3), np.float32)))
+        sky_px = (self.sky_pixels if self.sky_pixels is not None
+                  else np.zeros((1, 1, 3), np.float32))
+        if sky_px.shape[0] * sky_px.shape[1] > 1:
+            # IBL tables (host_skydome.cpp:20-47 analog); cheap at sync
+            from lighthouse2_tpu.render.sky import build_sky_cdf
+            pdf, cdf_rows, cdf_cond, nee_e = build_sky_cdf(sky_px)
+            sky = DeviceSky(pixels=jnp.asarray(sky_px), pdf=jnp.asarray(pdf),
+                            cdf_rows=jnp.asarray(cdf_rows),
+                            cdf_cond=jnp.asarray(cdf_cond),
+                            nee_energy=jnp.float32(nee_e), has_ibl=True)
+        else:
+            sky = DeviceSky(pixels=jnp.asarray(sky_px))
 
         bvh = None
         cbvh = None

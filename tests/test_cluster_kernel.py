@@ -50,9 +50,9 @@ def test_cluster_cut_covers_all_prims():
     real = np.sort(prims[prims >= 0]).astype(np.int64)
     np.testing.assert_array_equal(real, np.arange(777))
     # skip links: every node's skip target is > its own index, <= n_nodes
-    meta = np.asarray(cb.meta)
-    assert (meta[:, 0] > np.arange(cb.n_nodes)).all()
-    assert (meta[:, 0] <= cb.n_nodes).all()
+    meta = np.asarray(cb.meta)            # [2, M] component-major
+    assert (meta[0] > np.arange(cb.n_nodes)).all()
+    assert (meta[0] <= cb.n_nodes).all()
 
 
 def test_cluster_trace_matches_lockstep():
