@@ -1,0 +1,182 @@
+"""Scripted interactive viewer — the imguiapp main-loop analog, headless.
+
+The reference's interactive loop (apps/imguiapp/main.cpp:185-271) does:
+WASD/mouse camera input -> Restart on motion, shift-click probe -> focal
+distance + material pick (main.cpp:123-134), live material edits -> restart
+(HandleMaterialChange, main.cpp:143-153), progressive Converge otherwise,
+and presents every frame. This CLI replays the same loop from a SESSION
+SCRIPT (one command per line) and writes a numbered frame sequence —
+interactivity made testable/headless.
+
+Script commands (\"#\" comments allowed):
+    move <dx> <dy> <dz>       translate camera in view space (WASD analog)
+    turn <yaw_deg> <pitch_deg>  rotate the view direction (mouse analog)
+    probe <x> <y>             shift-click analog: print hit identity, set
+                              camera focal distance to the hit, select the
+                              hit material for subsequent `mat` edits
+    mat <field> <v> [v2 v3]   live-edit the selected material (restart)
+    fov <deg> | aperture <v>  lens controls
+    frames <n>                render n progressive passes, write a frame
+                              after each (converge unless state changed)
+    snap                      render one pass and write a frame
+    camera save <path> / camera load <path>
+    materials save <path>
+
+Usage:
+    python -m lighthouse2_tpu.apps.viewer_cli cornell --script session.txt \\
+        --out-dir frames/ --size 256
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _rotate(direction, yaw_deg, pitch_deg):
+    d = np.asarray(direction, np.float64)
+    yaw = np.radians(yaw_deg)
+    pitch = np.radians(pitch_deg)
+    # yaw about world up, pitch about camera right
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    d = np.array([cy * d[0] + sy * d[2], d[1], -sy * d[0] + cy * d[2]])
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(d, up)
+    rn = np.linalg.norm(right)
+    if rn > 1e-8:
+        right /= rn
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        d = cp * d + sp * np.cross(right, d)
+    return (d / np.linalg.norm(d)).astype(np.float32)
+
+
+class ViewerSession:
+    """Drives a RenderAPI from parsed script commands; keeps the selected
+    material + frame counter (the imguiapp loop state)."""
+
+    def __init__(self, api, out_dir: str):
+        self.api = api
+        self.out_dir = out_dir
+        self.frame = 0
+        self.selected_mat = -1
+        self.log: list[str] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _emit_frame(self):
+        from lighthouse2_tpu.utils.image import write_png
+        path = os.path.join(self.out_dir, f"frame_{self.frame:04d}.png")
+        write_png(path, self.api.get_ldr_image())
+        self.frame += 1
+        return path
+
+    def _say(self, msg):
+        self.log.append(msg)
+        print(msg)
+
+    def run_line(self, line: str):
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            return
+        tok = line.split()
+        cmd, args = tok[0], tok[1:]
+        cam = self.api.camera
+        if cmd == "move":
+            dx, dy, dz = (float(a) for a in args)
+            fwd = cam.direction
+            up = np.array([0, 1, 0], np.float32)
+            right = np.cross(fwd, up)
+            right /= max(np.linalg.norm(right), 1e-8)
+            cam.position = (cam.position + dx * right + dy * up
+                            + dz * fwd).astype(np.float32)
+        elif cmd == "turn":
+            cam.direction = _rotate(cam.direction, float(args[0]),
+                                    float(args[1]))
+        elif cmd == "fov":
+            cam.fov = float(args[0])
+        elif cmd == "aperture":
+            cam.aperture = float(args[0])
+        elif cmd == "probe":
+            # shift-click: identity + focal distance + material select
+            # (apps/imguiapp/main.cpp:123-134)
+            r = self.api.probe(int(args[0]), int(args[1]))
+            if r["prim"] >= 0 and np.isfinite(r["distance"]):
+                cam.focal_distance = float(r["distance"])
+                self.selected_mat = r["material"]
+            self._say(f"probe ({args[0]},{args[1]}): prim={r['prim']} "
+                      f"mat={r['material']} dist={r['distance']:.4f}")
+        elif cmd == "mat":
+            # live material edit -> scene dirty -> restart
+            # (HandleMaterialChange, main.cpp:143-153)
+            if self.selected_mat < 0:
+                self._say("mat: no material selected (probe first)")
+                return
+            field = args[0]
+            vals = [float(a) for a in args[1:]]
+            m = self.api.scene.materials[self.selected_mat]
+            val = tuple(vals) if len(vals) > 1 else vals[0]
+            self.api.scene.materials[self.selected_mat] = m.replace(
+                **{field: val})
+            self.api.scene.dirty = True
+            self._say(f"mat {self.selected_mat}.{field} = {val}")
+        elif cmd == "frames":
+            for _ in range(int(args[0])):
+                stats = self.api.render()
+                p = self._emit_frame()
+                self._say(f"{p}: spp={stats.get('spp')} "
+                          f"mrays/s={stats.get('mrays_per_s', 0):.2f}")
+        elif cmd == "snap":
+            self.api.render()
+            self._say(self._emit_frame())
+        elif cmd == "camera":
+            if args[0] == "save":
+                self.api.serialize_camera(args[1])
+            else:
+                self.api.deserialize_camera(args[1])
+        elif cmd == "materials":
+            self.api.serialize_materials(args[1])
+        else:
+            raise ValueError(f"unknown viewer command: {line!r}")
+
+    def run_script(self, text: str):
+        for line in text.splitlines():
+            self.run_line(line)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="scripted interactive viewer")
+    ap.add_argument("scene", help="'cornell', 'triangle', or an asset path")
+    ap.add_argument("--script", required=True, help="session script file")
+    ap.add_argument("--out-dir", default="frames")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--spp-per-pass", type=int, default=2)
+    ap.add_argument("--max-path", type=int, default=6)
+    ap.add_argument("--core", default="wavefront")
+    args = ap.parse_args(argv)
+
+    from lighthouse2_tpu.api import RenderAPI
+    from lighthouse2_tpu.core.types import RenderConfig
+
+    cfg = RenderConfig(width=args.size, height=args.size,
+                       spp_per_pass=args.spp_per_pass,
+                       max_path_length=args.max_path)
+    api = RenderAPI.create(args.core, cfg)
+    if args.scene == "cornell":
+        from lighthouse2_tpu.scene.presets import cornell_box
+        api.scene, api.camera = cornell_box(args.size, args.size)
+    elif args.scene == "triangle":
+        from lighthouse2_tpu.scene.presets import single_triangle
+        api.scene, api.camera = single_triangle(args.size, args.size)
+    elif args.scene.lower().endswith((".gltf", ".glb")):
+        api.scene.load_gltf(args.scene)
+    else:
+        api.scene.load_obj(args.scene)
+
+    session = ViewerSession(api, args.out_dir)
+    with open(args.script) as f:
+        session.run_script(f.read())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -217,11 +217,15 @@ def intersect_bruteforce(o, d, v0, e1, e2, t_max=BIG_T, chunk=1024):
     e2c = e2.reshape(n_chunks, chunk, 3)
 
     n = o.shape[0]
+    # init carries derive from the ray AND triangle inputs so their varying
+    # manual axes match the body outputs under shard_map (triangles may be
+    # sharded over a 'scene' axis — parallel/scene_shard.py)
+    zf = o[:, 0] * 0.0 + v0.reshape(-1)[0] * 0.0
     init = (
-        jnp.full((n,), BIG_T, jnp.float32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
+        zf + BIG_T,
+        zf.astype(jnp.int32) - 1,
+        zf,
+        zf,
     )
 
     ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
@@ -287,7 +291,10 @@ def occluded_bruteforce(o, d, t_max, v0, e1, e2, chunk=1024):
         )
         return occ | jnp.any(hit, axis=1), None
 
-    occ, _ = jax.lax.scan(body, jnp.zeros(o.shape[:1], bool), (v0c, e1c, e2c))
+    # init derives from both inputs for shard_map vma matching (see
+    # intersect_bruteforce)
+    init = (o[:, 0] * 0.0 + v0.reshape(-1)[0] * 0.0) > 1.0
+    occ, _ = jax.lax.scan(body, init, (v0c, e1c, e2c))
     return occ
 
 

@@ -71,6 +71,16 @@ class RenderConfig:
     # order rays in 32x32 pixel tiles so each 1024-ray kernel block is
     # spatially coherent (packet traversal); auto-disabled unless w,h % 32
     tile_order: bool = True
+    # per-bounce ray binning (cluster intersector): sort the wavefront by
+    # origin-morton-cell + direction octant before tracing so packet blocks
+    # stay coherent at bounce>=2 and dead lanes collapse into skippable
+    # tail blocks (the TPU analog of the reference's stream compaction,
+    # pathtracer.h:233)
+    ray_sort: bool = True
+    # scene-sharded multi-chip mode (parallel/scene_shard.py): triangles are
+    # sharded over a mesh axis and per-hit shading rows arrive via psum, so
+    # shading must consume payload rows directly (no global gather packs)
+    scene_sharded: bool = False
     dtype: Any = jnp.float32
 
     def tiled(self) -> bool:

@@ -179,3 +179,77 @@ class PrimeRefCore(WavefrontCore):
             clamp_fireflies=False,
         )
         super().__init__(config)
+
+
+@register_core("preview")
+class PreviewCore(RenderCore):
+    """Primary-ray preview core — the RenderCore_SoftRasterizer-class parity
+    core (rasterizer.cpp; Render builds the camera from the ViewPyramid at
+    rendercore.cpp:205-218). One cheap jit: trace primary rays only, shade
+    albedo x (N.L headlight + ambient), sky on miss. Doubles as the
+    interactive-preview path (BASELINE config 1) and fills the z-buffer
+    analog (depth image in stats)."""
+
+    def __init__(self, config: RenderConfig):
+        config = dataclasses.replace(config, max_path_length=1)
+        super().__init__(config)
+        self.image = None
+        self.depth = None
+
+    @staticmethod
+    def _pass(device_scene, view, config):
+        import functools
+        import jax.numpy as jnp
+        from lighthouse2_tpu.render.wavefront import (
+            generate_eye_rays, _intersect, make_shading, untile_image,
+            prepare_cluster_pay)
+        from lighthouse2_tpu.render.sky import sample_skydome
+        from lighthouse2_tpu.core.geometry import dot
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def run(scene, v, cfg):
+            paths = generate_eye_rays(v, cfg, 0)
+            o, d = paths["origin"], paths["dir"]
+            pay = prepare_cluster_pay(scene, cfg)
+            t, prim, u, uv_v, payload = _intersect(scene, o, d, cfg,
+                                                   paths["alive"],
+                                                   pay_tiles=pay)
+            hit = prim >= 0
+            ts = jnp.where(hit, t, 1.0)
+            sd = make_shading(scene, d, ts, prim, u, uv_v, v.spread_angle,
+                              cfg, payload=payload)
+            # headlight N.L + ambient floor (the rasterizer's per-pixel
+            # textured shading analog, rasterizer.cpp)
+            ndl = jnp.abs(dot(sd.n_shading, -d))
+            lit = sd.color * (0.25 + 0.75 * ndl)[:, None]
+            emis = jnp.where(sd.emissive[:, None], sd.color, lit)
+            col = jnp.where(hit[:, None], emis, sample_skydome(scene.sky, d))
+            depth = jnp.where(hit, t, jnp.inf)
+            wh = cfg.width * cfg.height
+            spp = cfg.spp_per_pass
+            col = untile_image(col.reshape(spp, wh, 3), cfg).mean(0)
+            depth = untile_image(depth.reshape(spp, wh, 1), cfg).min(0)[:, 0]
+            return col, depth
+
+        return run(device_scene, view, config)
+
+    def render(self, device_scene, view, converge: bool = True) -> dict:
+        t0 = time.perf_counter()
+        col, depth = self._pass(device_scene, view, self.config)
+        jax.block_until_ready(col)
+        wall = time.perf_counter() - t0
+        h, w = self.config.height, self.config.width
+        self.image = np.asarray(col).reshape(h, w, 3)
+        self.depth = np.asarray(depth).reshape(h, w)
+        n = self.config.n_paths
+        self.stats = {
+            "render_time": wall,
+            "primary_rays": n,
+            "extension_rays": n, "shadow_rays": 0, "total_rays": n,
+            "mrays_per_s": n / max(wall, 1e-9) / 1e6,
+            "spp": self.config.spp_per_pass,
+        }
+        return self.stats
+
+    def get_image(self) -> np.ndarray:
+        return self.image

@@ -104,7 +104,11 @@ def _intersect_tile(bscratch, X, best):
     du = out[3 * L:4 * L]
     ov = out[4 * L:5 * L]
     dv = out[5 * L:6 * L]
-    t = tn_ / dn                      # padding: -1/0 = -inf, never passes
+    # approx reciprocal: t only drives hit SELECTION here — the winning
+    # triangle's exact (t,u,v) are recomputed by refine_hit_rows downstream,
+    # so ~1e-6 relative error can at worst flip near-exact ties
+    t = tn_ * pl.reciprocal(dn, approx=True)  # padding: -1/0 -> -inf
+
     u = ou + t * du
     v = ov + t * dv
     ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
@@ -140,55 +144,101 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
             pay_out[sl] = jnp.where((rows == PAY_PRIM), -1.0, 0.0)
             any_live = jnp.any(tmax > 0.0)
 
-            def visit_cluster(cid, best):
-                def tile_body(j, best):
-                    t_idx = cid * tiles_per_cluster + j
-                    bdma = pltpu.make_async_copy(bmat_ref.at[t_idx],
-                                                 bscratch, bsem)
-                    bdma.start()
-                    bdma.wait()
-                    tm, tb = _intersect_tile(bscratch, X, best)
-                    upd = tb < best
+            def intersect_and_extract(t_idx, buf, best):
+                """Intersect the tile in bscratch[buf]; on improvement, DMA
+                the payload tile (32KB, ONLY then — most visits don't
+                improve) and extract the winners by one-hot matmul."""
+                tm, tb = _intersect_tile(bscratch.at[buf], X, best)
+                upd = tb < best
 
-                    # payload tile (32KB) is DMA'd ONLY when some ray's best
-                    # hit improved — most visits don't (bandwidth measured
-                    # dominant on 100k-tri scenes)
-                    @pl.when(jnp.any(upd))
+                @pl.when(jnp.any(upd))
+                def _():
+                    pdma = pltpu.make_async_copy(pay_ref.at[t_idx],
+                                                 pscratch, psem)
+                    pdma.start()
+                    # exclusive winner lane (smallest t, lowest lane)
+                    ri = jax.lax.broadcasted_iota(
+                        jnp.int32, (CLUSTER_LANES, BLOCK), 0)
+                    cand = tm <= tb
+                    win = jnp.min(jnp.where(cand, ri, CLUSTER_LANES),
+                                  axis=0, keepdims=True)
+                    S = ((ri == win) & cand).astype(jnp.float32)
+                    pdma.wait()
+                    p_new = jax.lax.dot_general(
+                        pscratch[:], S, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_PREC)              # [PAY_ROWS, 1024]
+                    pay_out[sl] = jnp.where(upd, p_new, pay_out[sl])
+
+                return jnp.where(upd, tb, best)
+
+            def bdma(t_idx, buf):
+                return pltpu.make_async_copy(bmat_ref.at[t_idx],
+                                             bscratch.at[buf], bsem.at[buf])
+
+            if tiles_per_cluster == 1:
+                # SOFTWARE-PIPELINED leaf loop: the next leaf's bmat tile
+                # streams into the other buffer while the current tile is
+                # intersected — the DMA start→wait latency was the dominant
+                # serial cost on 1000-cluster scenes (VERDICT r2 next #1)
+                def cond(c):
+                    return c[0] < n_nodes
+
+                def body(c):
+                    node, phase, best = c
+                    nd_c = jnp.minimum(node, n_nodes - 1)
+                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
+                    # walk ahead (stale best -> superset of visits, safe)
+                    nxt = _walk_to_leaf(meta_ref[0, nd_c], best, boxes_ref,
+                                        meta_ref, n_nodes, ox, oy, oz,
+                                        ix, iy, iz)
+
+                    @pl.when(nxt < n_nodes)
                     def _():
-                        pdma = pltpu.make_async_copy(pay_ref.at[t_idx],
-                                                     pscratch, psem)
-                        pdma.start()
-                        # exclusive winner lane (smallest t, lowest lane)
-                        ri = jax.lax.broadcasted_iota(
-                            jnp.int32, (CLUSTER_LANES, BLOCK), 0)
-                        cand = tm <= tb
-                        win = jnp.min(jnp.where(cand, ri, CLUSTER_LANES),
-                                      axis=0, keepdims=True)
-                        S = ((ri == win) & cand).astype(jnp.float32)
-                        pdma.wait()
-                        p_new = jax.lax.dot_general(
-                            pscratch[:], S, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_PREC)          # [PAY_ROWS, 1024]
-                        pay_out[sl] = jnp.where(upd, p_new, pay_out[sl])
+                        nx_c = jnp.minimum(nxt, n_nodes - 1)
+                        bdma(jnp.maximum(meta_ref[1, nx_c], 0),
+                             1 - phase).start()
 
-                    return jnp.where(upd, tb, best)
-                return jax.lax.fori_loop(0, tiles_per_cluster, tile_body,
-                                         best)
+                    bdma(cid, phase).wait()
+                    best = intersect_and_extract(cid, phase, best)
+                    return nxt, 1 - phase, best
 
-            def cond(c):
-                return (c[0] < n_nodes) & any_live
+                node0 = _walk_to_leaf(jnp.int32(0), tmax, boxes_ref,
+                                      meta_ref, n_nodes, ox, oy, oz,
+                                      ix, iy, iz)
 
-            def body(c):
-                node, best = c
-                node = _walk_to_leaf(node, best, boxes_ref, meta_ref,
-                                     n_nodes, ox, oy, oz, ix, iy, iz)
-                nd_c = jnp.minimum(node, n_nodes - 1)
-                cid = jnp.maximum(meta_ref[1, nd_c], 0)
-                best = visit_cluster(cid, best)
-                return meta_ref[0, nd_c], best
+                @pl.when(node0 < n_nodes)
+                def _():
+                    nd0 = jnp.minimum(node0, n_nodes - 1)
+                    bdma(jnp.maximum(meta_ref[1, nd0], 0), 0).start()
 
-            _, best = jax.lax.while_loop(cond, body, (jnp.int32(0), tmax))
+                _, _, best = jax.lax.while_loop(
+                    cond, body, (node0, jnp.int32(0), tmax))
+            else:
+                def visit_cluster(cid, best):
+                    def tile_body(j, best):
+                        t_idx = cid * tiles_per_cluster + j
+                        dma = bdma(t_idx, 0)
+                        dma.start()
+                        dma.wait()
+                        return intersect_and_extract(t_idx, 0, best)
+                    return jax.lax.fori_loop(0, tiles_per_cluster,
+                                             tile_body, best)
+
+                def cond(c):
+                    return (c[0] < n_nodes) & any_live
+
+                def body(c):
+                    node, best = c
+                    node = _walk_to_leaf(node, best, boxes_ref, meta_ref,
+                                         n_nodes, ox, oy, oz, ix, iy, iz)
+                    nd_c = jnp.minimum(node, n_nodes - 1)
+                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
+                    best = visit_cluster(cid, best)
+                    return meta_ref[0, nd_c], best
+
+                _, best = jax.lax.while_loop(cond, body,
+                                             (jnp.int32(0), tmax))
             # miss lanes keep t = tmax; row PAY_VALID of the OUTPUT carries t
             pay_out[(pl.ds(PAY_VALID, 1), pl.ds(c0, BLOCK))] = best
             return 0
@@ -214,38 +264,93 @@ def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                 return jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
             ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
+            def bdma(t_idx, buf):
+                return pltpu.make_async_copy(bmat_ref.at[t_idx],
+                                             bscratch.at[buf], bsem.at[buf])
+
             # occlusion carried as f32 0/1 — i1 vectors in while carries
             # fail Mosaic's scf.yield legalization
-            def visit_cluster(cid, occ):
-                def tile_body(j, occ):
-                    t_idx = cid * tiles_per_cluster + j
-                    bdma = pltpu.make_async_copy(bmat_ref.at[t_idx],
-                                                 bscratch, bsem)
-                    bdma.start()
-                    bdma.wait()
-                    _, tb = _intersect_tile(bscratch, X, tmax)
-                    return jnp.maximum(occ, (tb < tmax).astype(jnp.float32))
-                return jax.lax.fori_loop(0, tiles_per_cluster, tile_body, occ)
+            if tiles_per_cluster == 1:
+                # software-pipelined leaf loop (see closest kernel)
+                def cond(c):
+                    node, phase, occ = c
+                    # fire-and-forget: stop once every live ray is occluded
+                    # (OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT analog)
+                    return (node < n_nodes) & jnp.any((occ < 0.5)
+                                                      & (tmax > 0.0))
 
-            def cond(c):
-                node, occ = c
-                # fire-and-forget: stop once every live ray is occluded
-                # (OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT analog)
-                return (node < n_nodes) & jnp.any((occ < 0.5) & (tmax > 0.0))
+                def body(c):
+                    node, phase, occ = c
+                    nd_c = jnp.minimum(node, n_nodes - 1)
+                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
+                    nxt = _walk_to_leaf(meta_ref[0, nd_c], tmax, boxes_ref,
+                                        meta_ref, n_nodes, ox, oy, oz,
+                                        ix, iy, iz)
 
-            def body(c):
-                node, occ = c
-                # prune against tmax only: occluded lanes keep best=tmax but
-                # the loop exits once all live lanes are occluded
-                node = _walk_to_leaf(node, tmax, boxes_ref, meta_ref,
-                                     n_nodes, ox, oy, oz, ix, iy, iz)
-                nd_c = jnp.minimum(node, n_nodes - 1)
-                cid = jnp.maximum(meta_ref[1, nd_c], 0)
-                occ = visit_cluster(cid, occ)
-                return meta_ref[0, nd_c], occ
+                    @pl.when(nxt < n_nodes)
+                    def _():
+                        nx_c = jnp.minimum(nxt, n_nodes - 1)
+                        bdma(jnp.maximum(meta_ref[1, nx_c], 0),
+                             1 - phase).start()
 
-            _, occ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), (tmax <= 0.0).astype(jnp.float32)))
+                    bdma(cid, phase).wait()
+                    _, tb = _intersect_tile(bscratch.at[phase], X, tmax)
+                    occ = jnp.maximum(occ, (tb < tmax).astype(jnp.float32))
+                    return nxt, 1 - phase, occ
+
+                node0 = _walk_to_leaf(jnp.int32(0), tmax, boxes_ref,
+                                      meta_ref, n_nodes, ox, oy, oz,
+                                      ix, iy, iz)
+
+                @pl.when(node0 < n_nodes)
+                def _():
+                    nd0 = jnp.minimum(node0, n_nodes - 1)
+                    bdma(jnp.maximum(meta_ref[1, nd0], 0), 0).start()
+
+                node_x, phase_x, occ = jax.lax.while_loop(
+                    cond, body, (node0, jnp.int32(0),
+                                 (tmax <= 0.0).astype(jnp.float32)))
+
+                # the all-occluded early exit can leave the prefetch for
+                # `node_x` in flight (started into buffer phase_x by the
+                # last iteration) — drain it or the semaphore carries into
+                # the next block and pairs with the wrong copy
+                @pl.when(node_x < n_nodes)
+                def _():
+                    nd_x = jnp.minimum(node_x, n_nodes - 1)
+                    bdma(jnp.maximum(meta_ref[1, nd_x], 0), phase_x).wait()
+            else:
+                def visit_cluster(cid, occ):
+                    def tile_body(j, occ):
+                        t_idx = cid * tiles_per_cluster + j
+                        dma = bdma(t_idx, 0)
+                        dma.start()
+                        dma.wait()
+                        _, tb = _intersect_tile(bscratch.at[0], X, tmax)
+                        return jnp.maximum(occ,
+                                           (tb < tmax).astype(jnp.float32))
+                    return jax.lax.fori_loop(0, tiles_per_cluster,
+                                             tile_body, occ)
+
+                def cond(c):
+                    node, occ = c
+                    return (node < n_nodes) & jnp.any((occ < 0.5)
+                                                      & (tmax > 0.0))
+
+                def body(c):
+                    node, occ = c
+                    # prune against tmax only: occluded lanes keep best=tmax
+                    # but the loop exits once all live lanes are occluded
+                    node = _walk_to_leaf(node, tmax, boxes_ref, meta_ref,
+                                         n_nodes, ox, oy, oz, ix, iy, iz)
+                    nd_c = jnp.minimum(node, n_nodes - 1)
+                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
+                    occ = visit_cluster(cid, occ)
+                    return meta_ref[0, nd_c], occ
+
+                _, occ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0), (tmax <= 0.0).astype(jnp.float32)))
             occ_out[(pl.ds(0, 1), pl.ds(c0, BLOCK))] = jnp.where(
                 tmax > 0.0, occ, 0.0)
             return 0
@@ -272,8 +377,8 @@ def _trace_chunk(boxes, meta, bmat, pay, x,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), vm()],
             out_specs=[vm()],
             scratch_shapes=[
-                pltpu.VMEM((8, BMAT_COLS), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, 8, BMAT_COLS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         kernel = _make_anyhit_kernel(n_nodes, tiles_per_cluster, n_blocks)
@@ -288,9 +393,9 @@ def _trace_chunk(boxes, meta, bmat, pay, x,
                   pl.BlockSpec(memory_space=pl.ANY), vm()],
         out_specs=[vm()],
         scratch_shapes=[
-            pltpu.VMEM((8, BMAT_COLS), jnp.float32),
+            pltpu.VMEM((2, 8, BMAT_COLS), jnp.float32),
             pltpu.VMEM((PAY_ROWS, CLUSTER_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -316,6 +421,38 @@ def bake_material_rows(cbvh: ClusterBVH, mpack22):
     return jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
 
 
+def ray_sort_perm(o, d, t_max, bvh: ClusterBVH):
+    """Coherence permutation for one wavefront: sort rays by (morton cell of
+    origin in the scene box, direction octant); DEAD lanes (t_max<=0) sort to
+    the END. Packet blocks then see a small cluster union again at bounce>=2
+    (unsorted bathroom blocks visited ~half the 1083 clusters each — the
+    4.9 s/pass profile), and all-dead tail blocks are skipped by the
+    kernel's any_live early-out (the compaction analog: occupancy collapses
+    to ~16% at bounce 2 under RR). Returns (perm, inv_perm) int32 [N]."""
+    bmin = bvh.boxes[0:3, 0]                     # root node box
+    bmax = bvh.boxes[3:6, 0]
+    extent = jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip(((o - bmin) / extent) * 15.999, 0.0, 15.0).astype(jnp.uint32)
+
+    def stretch3(b):                             # 4 bits -> every 3rd bit
+        out = jnp.zeros_like(b)
+        for i in range(4):
+            out = out | (((b >> jnp.uint32(i)) & jnp.uint32(1))
+                         << jnp.uint32(3 * i))
+        return out
+    morton = (stretch3(q[:, 0]) | (stretch3(q[:, 1]) << 1)
+              | (stretch3(q[:, 2]) << 2))        # 12 bits
+    octant = ((d[:, 0] < 0).astype(jnp.uint32)
+              | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+    key = (morton << jnp.uint32(3)) | octant
+    key = jnp.where(t_max > 0.0, key, jnp.uint32(0x7FFFFFFF))
+    perm = jnp.argsort(key).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32))
+    return perm, inv
+
+
 def prepare_pay_tiles(bvh: ClusterBVH, paym):
     """Concatenate the host-baked geometry payload with the device-baked
     material rows ONCE per pass — the bounce loop then reuses the buffer
@@ -330,7 +467,8 @@ def prepare_pay_tiles(bvh: ClusterBVH, paym):
 
 
 def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
-                      paym=None, pay_tiles=None, interpret: bool = False):
+                      paym=None, pay_tiles=None, interpret: bool = False,
+                      perm=None, inv=None):
     """Closest-hit (or any-hit) of [N,3] rays against a ClusterBVH.
 
     Closest: returns (t [N], payload [PAY_ROWS, N]) — prim = payload[PAY_PRIM]
@@ -351,6 +489,11 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
 
     x = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                    jnp.ones_like(tmax), tmax], 0)          # [8, N]
+    if perm is not None:
+        # coherence permutation applied component-major (minor-axis gather —
+        # the fast TPU pattern; a row-major o[perm] gather measured ~30x
+        # slower); outputs are un-permuted the same way below
+        x = x[:, perm]
     # padded lanes carry tmax=0 -> never hit, terminate instantly
     x = jnp.pad(x, ((0, 0), (0, pad)))
     x = x.reshape(8, n_chunks, chunk).swapaxes(0, 1)       # [nc, 8, chunk]
@@ -364,7 +507,10 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
             occ = fn(x[0])
         else:
             occ = jax.lax.map(fn, x)
-        return occ.reshape(-1)[:n] > 0.5
+        occ = occ.reshape(-1)[:n]
+        if inv is not None:
+            occ = occ[inv]
+        return occ > 0.5
 
     if pay_tiles is None:
         pay_tiles = prepare_pay_tiles(bvh, paym)
@@ -378,6 +524,8 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
         payload = jax.lax.map(fn, x)
         payload = jnp.swapaxes(payload, 0, 1).reshape(PAY_ROWS, -1)
     payload = payload[:, :n]
+    if inv is not None:
+        payload = payload[:, inv]
     t = payload[PAY_VALID]               # best t rides in the VALID row slot
     prim = payload[PAY_PRIM]
     hit = prim >= 0.0

@@ -69,7 +69,8 @@ def material_pack(mats) -> jnp.ndarray:
 
 
 def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
-                         spread_angle, consistent_normals=True):
+                         spread_angle, consistent_normals=True,
+                         geom_reattach=True):
     """GetShadingData from the trace kernel's extracted payload — ZERO
     per-primitive gathers (the round-3 gather-bound fix, STAGE_TIMES_r03).
 
@@ -89,15 +90,24 @@ def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
     ltri = jnp.where(prim >= 0, payload[CL.PAY_LTRI].astype(jnp.int32), -1)
     w = 1.0 - u - v
 
-    g9 = reattach_rows(tris.tri9, prim, payload[CL.PAY_V0:CL.PAY_V0 + 9])
-    apack = jnp.concatenate([
-        tris.n0.T, tris.n1.T, tris.n2.T,          # 0:9
-        tris.uv0.T, tris.uv1.T, tris.uv2.T,       # 9:15
-        tris.alpha.T,                             # 15:18
-    ], axis=0)
-    ga = reattach_rows(apack, prim, payload[CL.PAY_N0:CL.PAY_N0 + 18])
-    lodb = reattach_rows(tris.lod[None], prim,
-                         payload[CL.PAY_LOD:CL.PAY_LOD + 1])[0]
+    if geom_reattach:
+        g9 = reattach_rows(tris.tri9, prim, payload[CL.PAY_V0:CL.PAY_V0 + 9])
+        apack = jnp.concatenate([
+            tris.n0.T, tris.n1.T, tris.n2.T,          # 0:9
+            tris.uv0.T, tris.uv1.T, tris.uv2.T,       # 9:15
+            tris.alpha.T,                             # 15:18
+        ], axis=0)
+        ga = reattach_rows(apack, prim, payload[CL.PAY_N0:CL.PAY_N0 + 18])
+        lodb = reattach_rows(tris.lod[None], prim,
+                             payload[CL.PAY_LOD:CL.PAY_LOD + 1])[0]
+    else:
+        # scene-sharded mode (parallel/scene_shard.py): no global triangle
+        # arrays exist on any one device — consume the psum-assembled rows
+        # directly (forward rendering; geometry gradients are a
+        # replicate-mode feature)
+        g9 = payload[CL.PAY_V0:CL.PAY_V0 + 9]
+        ga = payload[CL.PAY_N0:CL.PAY_N0 + 18]
+        lodb = payload[CL.PAY_LOD]
 
     def v3(rows, a):
         return jnp.stack([a[rows], a[rows + 1], a[rows + 2]], axis=-1)

@@ -258,14 +258,25 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None,
         jax.lax.stop_gradient(alive), BIG_T, 0.0)
     payload = None
     if mode == "cluster":
-        from lighthouse2_tpu.render.kernels.trace import trace_cluster_bvh
+        from lighthouse2_tpu.render.kernels.trace import (
+            trace_cluster_bvh, ray_sort_perm)
         from lighthouse2_tpu.render.fetch import reattach_rows
         from lighthouse2_tpu.bvh import clusters as CL
         if pay_tiles is None:
             pay_tiles = prepare_cluster_pay(scene, config)
+        perm = inv = None
+        # the sort machinery costs ~12 ms/site on the axon relay — only
+        # worth it when the cluster union per block is actually large
+        if config.ray_sort and scene.cbvh.n_clusters >= 16:
+            tmax_full = jnp.broadcast_to(jnp.asarray(
+                jax.lax.stop_gradient(t_max), jnp.float32), (o.shape[0],))
+            perm, inv = ray_sort_perm(jax.lax.stop_gradient(o),
+                                      jax.lax.stop_gradient(d),
+                                      tmax_full, scene.cbvh)
         t, payload = trace_cluster_bvh(o, d, scene.cbvh, t_max,
                                        pay_tiles=pay_tiles,
-                                       interpret=config.kernel_interpret)
+                                       interpret=config.kernel_interpret,
+                                       perm=perm, inv=inv)
         prim = jnp.where(payload[CL.PAY_PRIM] >= 0.0,
                          payload[CL.PAY_PRIM].astype(jnp.int32), -1)
         g9 = reattach_rows(tris.tri9, prim,
@@ -297,7 +308,8 @@ def make_shading(scene: DeviceScene, d, t, prim, u, v, spread_angle,
         from lighthouse2_tpu.render.shading import shading_from_payload
         return shading_from_payload(
             scene, d, t, payload, u, v, spread_angle,
-            consistent_normals=config.consistent_normals)
+            consistent_normals=config.consistent_normals,
+            geom_reattach=not config.scene_sharded)
     return get_shading_data(scene, d, t, prim, u, v, spread_angle,
                             consistent_normals=config.consistent_normals)
 
@@ -306,9 +318,19 @@ def _occluded(scene: DeviceScene, o, d, t_max, config: RenderConfig):
     tris = scene.tris
     mode = _pick_intersector(scene, config)
     if mode == "cluster":
-        from lighthouse2_tpu.render.kernels.trace import trace_cluster_bvh
+        from lighthouse2_tpu.render.kernels.trace import (
+            trace_cluster_bvh, ray_sort_perm)
+        perm = inv = None
+        if config.ray_sort and scene.cbvh.n_clusters >= 16:
+            tmax_full = jnp.broadcast_to(
+                jnp.asarray(jax.lax.stop_gradient(t_max), jnp.float32),
+                (o.shape[0],))
+            perm, inv = ray_sort_perm(jax.lax.stop_gradient(o),
+                                      jax.lax.stop_gradient(d),
+                                      tmax_full, scene.cbvh)
         return trace_cluster_bvh(o, d, scene.cbvh, t_max, anyhit=True,
-                                 interpret=config.kernel_interpret)
+                                 interpret=config.kernel_interpret,
+                                 perm=perm, inv=inv)
     if mode == "lockstep":
         return bvh_occluded(o, d, t_max, scene.bvh, tris.v0, tris.e1,
                             tris.e2)
@@ -369,7 +391,7 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
 
 
 def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
-                pay_tiles=None):
+                pay_tiles=None, intersect_fn=None, occluded_fn=None):
     """One full bounce (trace + shade + occlude + apply), skipped via
     `lax.cond` when every lane is dead — the bounce-level analog of the
     reference terminating its loop when counters.extensionRays == 0
@@ -377,17 +399,19 @@ def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
     the sampling schedule is identical whether or not tail bounces run.
     Returns (paths, acc, cam_seed, n_shadow_connections)."""
 
+    isect = intersect_fn or (lambda o, d, alive: _intersect(
+        scene, o, d, config, alive, pay_tiles=pay_tiles))
+    occl = occluded_fn or (lambda o, d, tmax: _occluded(scene, o, d, tmax,
+                                                        config))
+
     def live(carry):
         paths, acc, cam_seed = carry
-        t, prim, u, v, payload = _intersect(scene, paths["origin"],
-                                            paths["dir"], config,
-                                            paths["alive"],
-                                            pay_tiles=pay_tiles)
+        t, prim, u, v, payload = isect(paths["origin"], paths["dir"],
+                                       paths["alive"])
         paths2, acc2, cam_seed2, shadow = shade_bounce(
             scene, view, config, paths, acc, cam_seed, li, t, prim, u, v,
             payload=payload)
-        occ = _occluded(scene, shadow["o"], shadow["d"], shadow["tmax"],
-                        config)
+        occ = occl(shadow["o"], shadow["d"], shadow["tmax"])
         acc2, paths2 = apply_shadow(config, paths2, acc2, shadow, occ)
         n_conn = jnp.sum(shadow["conn_ok"].astype(jnp.int32))
         return paths2, acc2, cam_seed2, n_conn
