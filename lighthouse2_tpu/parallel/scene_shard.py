@@ -104,8 +104,9 @@ def _local_payload(sh, prim, mine, mpack22):
     rows = rows.at[CL.PAY_LOD].set(sh["lod"][p])
     rows = rows.at[CL.PAY_VALID].set(1.0)
     # material parameter rows (materials replicated; layout = material_pack)
-    mrows = mpack22[:, mat]                                # [22, N]
-    rows = rows.at[CL.PAY_GEO_ROWS:CL.PAY_GEO_ROWS + 22].set(mrows)
+    mrows = mpack22[:, mat]                                # [K, N]
+    rows = rows.at[CL.PAY_GEO_ROWS:
+                   CL.PAY_GEO_ROWS + mpack22.shape[0]].set(mrows)
     return jnp.where(mine[None, :], rows, 0.0)
 
 

@@ -104,10 +104,7 @@ def _intersect_tile(bscratch, X, best):
     du = out[3 * L:4 * L]
     ov = out[4 * L:5 * L]
     dv = out[5 * L:6 * L]
-    # approx reciprocal: t only drives hit SELECTION here — the winning
-    # triangle's exact (t,u,v) are recomputed by refine_hit_rows downstream,
-    # so ~1e-6 relative error can at worst flip near-exact ties
-    t = tn_ * pl.reciprocal(dn, approx=True)  # padding: -1/0 -> -inf
+    t = tn_ / dn                      # padding: -1/0 = -inf, never passes
 
     u = ou + t * du
     v = ov + t * dv
@@ -407,14 +404,14 @@ def _trace_chunk(boxes, meta, bmat, pay, x,
 
 def bake_material_rows(cbvh: ClusterBVH, mpack22):
     """Device-side bake of the material payload rows from the LIVE material
-    pack ([22, M], render/shading.py material_pack) — one triangle-count-
+    pack ([23, M], render/shading.py material_pack) — one triangle-count-
     sized gather per pass, so material edits / optimizer steps never stale
     the tiles (the analog of the per-frame SetMaterials upload,
     rendersystem.cpp:83). Returns [C*TPC, PAY_MAT_ROWS, 128] f32."""
     ct = cbvh.pgeo.shape[0]
     valid = cbvh.pgeo[:, PAY_VALID, :] > 0.0
     ids = jnp.where(valid, cbvh.pgeo[:, PAY_MAT, :], 0.0).astype(jnp.int32)
-    rows = mpack22[:, ids.reshape(-1)]                    # [22, CT*128]
+    rows = mpack22[:, ids.reshape(-1)]                    # [K, CT*128]
     rows = rows.reshape(mpack22.shape[0], ct, CLUSTER_LANES)
     rows = jnp.swapaxes(rows, 0, 1)                       # [CT, 22, 128]
     pad = PAY_MAT_ROWS - mpack22.shape[0]

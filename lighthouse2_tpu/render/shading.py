@@ -47,9 +47,12 @@ class ShadingData:
                                 # → passthrough ray (material_shared.h:122-126)
 
 
+MAT_PACK_ROWS = 23
+
+
 def material_pack(mats) -> jnp.ndarray:
-    """The [22, M] component-major material table — float rows 0..17 then the
-    int slots (flags, tex ids) as exact f32 rows 18..21. Row order is the
+    """The [23, M] component-major material table — float rows 0..17 then the
+    int slots (flags, tex ids) as exact f32 rows 18..22. Row order is the
     contract shared by get_shading_data, the payload bake
     (render/kernels/trace.py bake_material_rows) and shading_from_payload."""
     return jnp.concatenate([
@@ -65,6 +68,7 @@ def material_pack(mats) -> jnp.ndarray:
         mats.tex_diffuse.astype(jnp.float32)[None],
         mats.tex_normal.astype(jnp.float32)[None],
         mats.tex_roughness.astype(jnp.float32)[None],  # 19..21
+        mats.tex_metal_rough.astype(jnp.float32)[None],  # 22 (glTF MR map)
     ], axis=0)
 
 
@@ -125,8 +129,8 @@ def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
 
     mpack = material_pack(mats)
     m = reattach_rows(mpack, mat_safe, payload[CL.PAY_GEO_ROWS:
-                                               CL.PAY_GEO_ROWS + 22])
-    mi = m[18:22].astype(jnp.int32)
+                                               CL.PAY_GEO_ROWS + 23])
+    mi = m[18:23].astype(jnp.int32)
     color = v3(0, m)
     rough = m[9]
 
@@ -171,8 +175,8 @@ def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
 
     mat = tris.mat[p]
     mpack = material_pack(mats)
-    m = mpack[:, mat]                             # [22, N] one gather
-    mi = m[18:22].astype(jnp.int32)               # flags, tex ids
+    m = mpack[:, mat]                             # [23, N] one gather
+    mi = m[18:23].astype(jnp.int32)               # flags, tex ids
     color = v3(0, m)
     rough = m[9]
 
@@ -212,6 +216,12 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
         tex_r = mi[3]
         rtex = fetch_trilinear(scene.textures, tex_r, uv, lam)
         rough = jnp.where(tex_r >= 0, rough * rtex[:, 0], rough)
+        # glTF metallicRoughnessTexture: roughness in G, metallic in B
+        # (common_classes.h per-param slots; gltf 2.0 pbrMetallicRoughness)
+        tex_mr = mi[4]
+        mrtex = fetch_trilinear(scene.textures, tex_mr, uv, lam)
+        rough = jnp.where(tex_mr >= 0, rough * mrtex[:, 1], rough)
+        metallic = jnp.where(tex_mr >= 0, m[6] * mrtex[:, 2], m[6])
 
     # consistent normal correction (tools_shared.h:297-311), backside flip
     alpha = w * alpha3[0] + u * alpha3[1] + v * alpha3[2]
@@ -234,13 +244,15 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
         n_mapped = normalize(tangent_to_world(n_tan, n_shading))
         n_shading = jnp.where((tex_n >= 0)[:, None], n_mapped, n_shading)
 
+    if not has_any_tex:
+        metallic = m[6]
     face_dir = jnp.where(dot(d, n_geom) > 0, -1.0, 1.0)
     emissive = jnp.max(color, axis=-1) > 1.0          # host_material.h:79
 
     return ShadingData(
         color=color,
         absorption=v3(3, m),
-        metallic=m[6],
+        metallic=metallic,
         subsurface=m[7],
         specular=m[8],
         roughness=rough,

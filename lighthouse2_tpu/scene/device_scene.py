@@ -69,6 +69,7 @@ class DeviceMaterials:
     tex_diffuse: jnp.ndarray      # [M] int32 texture id or -1
     tex_normal: jnp.ndarray
     tex_roughness: jnp.ndarray
+    tex_metal_rough: jnp.ndarray   # glTF metallicRoughnessTexture slot
 
     @property
     def count(self):

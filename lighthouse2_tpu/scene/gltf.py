@@ -120,7 +120,11 @@ def _convert_material(g: _Gltf, mi: int, scene, tex_map) -> HostMaterial:
     if "baseColorTexture" in pbr:
         mat.tex_diffuse = tex_map(pbr["baseColorTexture"]["index"])
     if "normalTexture" in m:
-        mat.tex_normal = tex_map(m["normalTexture"]["index"])
+        mat.tex_normal = tex_map(m["normalTexture"]["index"], srgb=False)
+    if "metallicRoughnessTexture" in pbr:
+        # G = roughness, B = metallic (glTF 2.0); stored linear
+        mat.tex_metal_rough = tex_map(
+            pbr["metallicRoughnessTexture"]["index"], srgb=False)
     return mat
 
 
@@ -191,9 +195,13 @@ def load_gltf(path: str, scene, transform=None) -> list:
     # textures
     tex_cache = {}
 
-    def tex_map(ti):
-        if ti in tex_cache:
-            return tex_cache[ti]
+    def tex_map(ti, srgb=True):
+        if (ti, srgb) in tex_cache:
+            return tex_cache[(ti, srgb)]
+        tex_cache[ti] = None  # legacy key guard (unused)
+        def _store(v):
+            tex_cache[(ti, srgb)] = v
+            return v
         from lighthouse2_tpu.scene.host_texture import HostTexture
         src = doc["textures"][ti].get("source")
         img = doc["images"][src]
@@ -202,9 +210,8 @@ def load_gltf(path: str, scene, transform=None) -> list:
             from urllib.parse import unquote
             p = os.path.join(g.base, unquote(img["uri"]))
             if not p.lower().endswith(".png"):
-                tex_cache[ti] = -1
-                return -1
-            ht = HostTexture(im.read_png(p), name=img["uri"])
+                return _store(-1)
+            ht = HostTexture(im.read_png(p), name=img["uri"], srgb=srgb)
         else:
             if "uri" in img:
                 raw = base64.b64decode(img["uri"].split(",", 1)[1])
@@ -216,16 +223,14 @@ def load_gltf(path: str, scene, transform=None) -> list:
                 raw = data[off: off + bv["byteLength"]]
                 mime = img.get("mimeType", "")
             if "png" not in mime and not raw[:8] == b"\x89PNG\r\n\x1a\n":
-                tex_cache[ti] = -1
-                return -1
+                return _store(-1)
             import io
             tmp = os.path.join("/tmp", f"_gltf_tex_{ti}.png")
             with open(tmp, "wb") as f:
                 f.write(raw)
-            ht = HostTexture(im.read_png(tmp), name=f"embedded_{ti}")
-        tid = scene.add_texture(ht)
-        tex_cache[ti] = tid
-        return tid
+            ht = HostTexture(im.read_png(tmp), name=f"embedded_{ti}",
+                             srgb=srgb)
+        return _store(scene.add_texture(ht))
 
     # materials
     mat_base = len(scene.materials)

@@ -36,7 +36,8 @@ class HostMaterial:
     flags: int = MAT_SMOOTH
     tex_diffuse: int = -1
     tex_normal: int = -1
-    tex_roughness: int = -1
+    tex_roughness: int = -1         # scalar roughness map (reads R; OBJ/map_Ns)
+    tex_metal_rough: int = -1       # glTF metallicRoughnessTexture (G=rough, B=metal)
 
     def is_emissive(self) -> bool:
         return max(self.color) > 1.0
@@ -94,4 +95,5 @@ def materials_to_numpy(mats: list) -> dict:
         absorption=np.array([m.absorption for m in ms], np.float32).reshape(n, 3),
         flags=gi("flags"), tex_diffuse=gi("tex_diffuse"),
         tex_normal=gi("tex_normal"), tex_roughness=gi("tex_roughness"),
+        tex_metal_rough=gi("tex_metal_rough"),
     )

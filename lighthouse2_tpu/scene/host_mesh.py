@@ -146,6 +146,13 @@ class HostMesh:
         m.n0 = m.n1 = m.n2 = np.broadcast_to(n, (2, 3)).astype(np.float32).copy()
         m.face_n = m.n0.copy()
         m.alpha = np.zeros((2, 3), np.float32)
+        # unit UVs across the quad (u along t, v along b) so textured
+        # materials map naturally (host_scene.cpp:346-394 sets the same)
+        uvs = np.array([[0, 0], [0, 1], [1, 0], [0, 1], [1, 1], [1, 0]],
+                       np.float32)
+        m.uv0 = uvs[idx[:, 0]]
+        m.uv1 = uvs[idx[:, 1]]
+        m.uv2 = uvs[idx[:, 2]]
         return m
 
     def transformed(self, transform: "np.ndarray | None"):

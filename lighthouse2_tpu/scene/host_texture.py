@@ -36,7 +36,12 @@ class HostTexture:
                 continue
             h2, w2 = h // 2, w // 2
             c = prev[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, 4)
-            self.mips.append(c.mean(axis=(1, 3)).astype(np.float32))
+            m = c.mean(axis=(1, 3))
+            # alpha takes the MIN of the box (host_texture.cpp:128-151):
+            # averaging erodes alpha-cutout geometry at distance — a leaf
+            # texture would dissolve under LOD
+            m[:, :, 3] = c[:, :, :, :, 3].min(axis=(1, 3))
+            self.mips.append(m.astype(np.float32))
         self.name = name
 
     @property

@@ -66,10 +66,8 @@ def test_cluster_trace_matches_lockstep():
     p1 = _prim_of(payload)
     np.testing.assert_array_equal(np.asarray(p0), p1)
     m = np.asarray(p0) >= 0
-    # kernel t uses an approx reciprocal (hit selection only; exact t/u/v
-    # come from refine_hit_rows downstream) -> loose tolerance
     np.testing.assert_allclose(np.asarray(t0)[m], np.asarray(t1)[m],
-                               rtol=1e-2)
+                               rtol=2e-4)
     # refined (u,v) from the payload rows must match the lockstep hit
     _, u1, v1_, _ = refine_hit_rows(o, d, jnp.asarray(p1, jnp.int32),
                                     payload[PAY_V0:PAY_V0 + 9])
