@@ -65,11 +65,13 @@ PAY_MAT = 28        # material id as f32
 PAY_LTRI = 29       # area-light slot as f32 (-1 = none)
 PAY_LOD = 30        # texture LOD base
 PAY_VALID = 31      # 1.0 real, 0.0 padding
-PAY_GEO_ROWS = 32
+PAY_TAN = 32        # 32:35 uv tangent (CoreTri.T, host_mesh.cpp:545-565)
+PAY_BIT = 35        # 35:38 uv bitangent (zero = no uv frame -> ONB)
+PAY_GEO_ROWS = 40   # 38:40 pad (sublane multiple)
 
 # material payload rows (device-baked each pass; layout must mirror
 # render/shading.py material_pack exactly)
-PAY_MAT_ROWS = 32   # 22 used + pad to a sublane multiple
+PAY_MAT_ROWS = 24   # 23 used + pad to a sublane multiple
 PAY_ROWS = PAY_GEO_ROWS + PAY_MAT_ROWS   # 64 — full payload height
 
 
@@ -97,7 +99,8 @@ def _default_tri_aux(v0):
                 alpha=np.ones((t, 3), np.float32),
                 mat=np.zeros((t,), np.int32),
                 ltri=np.full((t,), -1, np.int32),
-                lod=np.zeros((t,), np.float32))
+                lod=np.zeros((t,), np.float32),
+                tangent=z3, bitangent=z3)
 
 
 def build_cluster_bvh(v0, v1, v2, tri: dict | None = None, max_leaf: int = 4,
@@ -316,6 +319,8 @@ def cut_clusters(flat: dict, tri: dict,
             g[PAY_LTRI, :m] = aux["ltri"][seg].astype(np.float32)
             g[PAY_LOD, :m] = aux["lod"][seg].astype(np.float32)
             g[PAY_VALID, :m] = 1.0
+            g[PAY_TAN:PAY_TAN + 3, :m] = aux["tangent"][seg].T
+            g[PAY_BIT:PAY_BIT + 3, :m] = aux["bitangent"][seg].T
 
     return ClusterBVH(
         boxes=jnp.asarray(np.ascontiguousarray(boxes.T)),

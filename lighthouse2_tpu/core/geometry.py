@@ -89,6 +89,25 @@ def onb(n):
     return t, bt
 
 
+def oriented_frame(n, tangent, bitangent):
+    """Shading frame aligned to the uv tangent when one exists: T is
+    Gram-Schmidt-orthogonalized against n, B re-derived with the input
+    bitangent's handedness; zero tangents fall back to the branchless ONB
+    (the reference builds exactly this frame from CoreTri.T/B)."""
+    t_proj = tangent - n * jnp.sum(n * tangent, -1, keepdims=True)
+    tl = jnp.sqrt(jnp.maximum(jnp.sum(t_proj * t_proj, -1, keepdims=True),
+                              1e-20))
+    has = (jnp.sum(tangent * tangent, -1, keepdims=True) > 0.25) & (tl > 1e-6)
+    t_uv = t_proj / tl
+    b_uv = jnp.cross(n, t_uv)
+    # preserve the uv handedness (mirrored uvs flip B)
+    sign = jnp.where(jnp.sum(b_uv * bitangent, -1, keepdims=True) < 0.0,
+                     -1.0, 1.0)
+    b_uv = b_uv * sign
+    t_onb, b_onb = onb(n)
+    return jnp.where(has, t_uv, t_onb), jnp.where(has, b_uv, b_onb)
+
+
 def tangent_to_world(v, n):
     t, b = onb(n)
     return v[..., 0:1] * t + v[..., 1:2] * b + v[..., 2:3] * n

@@ -72,7 +72,9 @@ def shard_triangle_arrays(tris, k: int):
         uv0=split(tris.uv0), uv1=split(tris.uv1), uv2=split(tris.uv2),
         alpha=split(tris.alpha, 1.0),
         mat=split(tris.mat), ltri=split(tris.ltri, -1),
-        lod=split(tris.lod), gid=jnp.asarray(gid.reshape(k, tk)),
+        lod=split(tris.lod), tangent=split(tris.tangent),
+        bitangent=split(tris.bitangent),
+        gid=jnp.asarray(gid.reshape(k, tk)),
     )
 
 
@@ -103,6 +105,8 @@ def _local_payload(sh, prim, mine, mpack22):
     rows = rows.at[CL.PAY_LTRI].set(sh["ltri"][p].astype(jnp.float32))
     rows = rows.at[CL.PAY_LOD].set(sh["lod"][p])
     rows = rows.at[CL.PAY_VALID].set(1.0)
+    rows = put3(CL.PAY_TAN, sh["tangent"])
+    rows = put3(CL.PAY_BIT, sh["bitangent"])
     # material parameter rows (materials replicated; layout = material_pack)
     mrows = mpack22[:, mat]                                # [K, N]
     rows = rows.at[CL.PAY_GEO_ROWS:

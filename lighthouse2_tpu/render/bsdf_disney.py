@@ -166,7 +166,12 @@ def _gtr1_pdf(mz, alpha):
 # frame helpers
 # ---------------------------------------------------------------------------
 
-def _frame(i_n):
+def _frame(i_n, sd=None):
+    """Shading frame: uv-tangent-aligned when the mesh carries one (so
+    anisotropy has a stable, author-controlled direction), ONB otherwise."""
+    if sd is not None:
+        from lighthouse2_tpu.core.geometry import oriented_frame
+        return oriented_frame(i_n, sd.tangent, sd.bitangent)
     t, b = onb(i_n)
     return t, b
 
@@ -315,7 +320,7 @@ def is_specular_material(sd):
 def evaluate(sd, i_n, wo, wi):
     """EvaluateBSDF (disney.h:298-335). Returns (bsdf [N,3], pdf [N])."""
     spec = is_specular_material(sd)
-    t, b = _frame(i_n)
+    t, b = _frame(i_n, sd)
     w_d, w_sh, w_sp, w_c = _lobe_weights(sd)
     v_d, p_d = _evaluate_diffuse(sd, i_n, wo, wi)
     v_sh, p_sh = _evaluate_sheen(sd, wo, wi)
@@ -344,7 +349,7 @@ def sample(sd, i_n, n_geom, wo, distance, r3, r4):
     flip = jnp.where(dot(wo, n_geom) < 0, -1.0, 1.0)
     i_n = i_n * flip[:, None]
     n_flip = n_geom * flip[:, None]
-    t, b = _frame(i_n)
+    t, b = _frame(i_n, sd)
 
     # ---- dielectric path (shared with lambert; disney.h:211-234) ----------
     eio = jnp.where(flip < 0, 1.0 / jnp.maximum(sd.eta, 1e-6), sd.eta)

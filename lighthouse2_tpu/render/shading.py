@@ -45,6 +45,8 @@ class ShadingData:
     lod: jnp.ndarray            # [N] texture lambda
     alpha_cutout: jnp.ndarray   # [N] bool: HASALPHA material & texel.w < 0.5
                                 # → passthrough ray (material_shared.h:122-126)
+    tangent: jnp.ndarray        # [N,3] uv tangent (CoreTri.T; zero = none)
+    bitangent: jnp.ndarray      # [N,3] uv bitangent
 
 
 MAT_PACK_ROWS = 23
@@ -134,10 +136,13 @@ def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
     color = v3(0, m)
     rough = m[9]
 
+    tan = v3(CL.PAY_TAN, payload)
+    bit = v3(CL.PAY_BIT, payload)
     return _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
                              consistent_normals, n_geom, n_int, uv, m, mi,
                              color, rough, alpha3=(ga[15], ga[16], ga[17]),
-                             area=area, ltri=ltri, lod_base=lodb)
+                             area=area, ltri=ltri, lod_base=lodb,
+                             tangent=tan, bitangent=bit)
 
 
 def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
@@ -160,8 +165,9 @@ def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
         tris.uv0.T, tris.uv1.T, tris.uv2.T,       # 12:18
         tris.alpha.T,                             # 18:21
         tris.area[None], tris.lod[None],          # 21, 22
+        tris.tangent.T, tris.bitangent.T,         # 23:29
     ], axis=0)
-    g = tpack[:, p]                               # [23, N] one gather
+    g = tpack[:, p]                               # [29, N] one gather
 
     def v3(rows, a=g):
         return jnp.stack([a[rows], a[rows + 1], a[rows + 2]], axis=-1)
@@ -183,12 +189,17 @@ def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
     return _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
                              consistent_normals, n_geom, n_int, uv, m, mi,
                              color, rough, alpha3=(g[18], g[19], g[20]),
-                             area=g[21], ltri=tris.ltri[p], lod_base=g[22])
+                             area=g[21], ltri=tris.ltri[p], lod_base=g[22],
+                             tangent=v3(23, g), bitangent=v3(26, g))
 
 
 def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
                       consistent_normals, n_geom, n_int, uv, m, mi,
-                      color, rough, alpha3, area, ltri, lod_base):
+                      color, rough, alpha3, area, ltri, lod_base,
+                      tangent=None, bitangent=None):
+    if tangent is None:
+        tangent = jnp.zeros_like(n_geom)
+        bitangent = jnp.zeros_like(n_geom)
     """Shared tail of GetShadingData (textures, consistent normals, normal
     map, flags) for the gather and payload fetch paths."""
 
@@ -234,14 +245,17 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
     else:
         n_shading = n_int
 
-    # normal mapping
+    # normal mapping — in the uv tangent frame when the mesh has one
+    # (CoreTri.T/B, host_mesh.cpp:545-565), ONB fallback otherwise
     if has_any_tex:
         tex_n = mi[2]
         from lighthouse2_tpu.render.textures import fetch_trilinear as _ft
-        from lighthouse2_tpu.core.geometry import tangent_to_world
+        from lighthouse2_tpu.core.geometry import oriented_frame
         nm = _ft(scene.textures, tex_n, uv, lam)
         n_tan = normalize(nm[:, :3] * 2.0 - 1.0)
-        n_mapped = normalize(tangent_to_world(n_tan, n_shading))
+        tb, bb = oriented_frame(n_shading, tangent, bitangent)
+        n_mapped = normalize(tb * n_tan[:, 0:1] + bb * n_tan[:, 1:2]
+                             + n_shading * n_tan[:, 2:3])
         n_shading = jnp.where((tex_n >= 0)[:, None], n_mapped, n_shading)
 
     if not has_any_tex:
@@ -269,4 +283,5 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
         face_dir=face_dir, emissive=emissive,
         ltri=ltri, area=area, uv=uv, lod=lam,
         alpha_cutout=alpha_cutout,
+        tangent=tangent, bitangent=bitangent,
     )

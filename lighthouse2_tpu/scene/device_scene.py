@@ -37,6 +37,10 @@ class DeviceTriangles:
     inv_area: jnp.ndarray  # [T]
     lod: jnp.ndarray     # [T] texture LOD base
     tri9: jnp.ndarray    # [9,T] v0/e1/e2 component-major (TPU gather layout)
+    # per-tri uv tangent frame (CoreTri T/B, host_mesh.cpp:545-565); zero
+    # vectors when the uv triangle is degenerate (shading falls back to ONB)
+    tangent: jnp.ndarray = None    # [T,3]
+    bitangent: jnp.ndarray = None  # [T,3]
 
     @property
     def count(self):

@@ -209,9 +209,12 @@ def load_gltf(path: str, scene, transform=None) -> list:
         if "uri" in img and not img["uri"].startswith("data:"):
             from urllib.parse import unquote
             p = os.path.join(g.base, unquote(img["uri"]))
-            if not p.lower().endswith(".png"):
+            if p.lower().endswith(".png"):
+                ht = HostTexture(im.read_png(p), name=img["uri"], srgb=srgb)
+            elif p.lower().endswith((".jpg", ".jpeg")):
+                ht = HostTexture(im.read_jpeg(p), name=img["uri"], srgb=srgb)
+            else:
                 return _store(-1)
-            ht = HostTexture(im.read_png(p), name=img["uri"], srgb=srgb)
         else:
             if "uri" in img:
                 raw = base64.b64decode(img["uri"].split(",", 1)[1])
@@ -222,14 +225,19 @@ def load_gltf(path: str, scene, transform=None) -> list:
                 off = bv.get("byteOffset", 0)
                 raw = data[off: off + bv["byteLength"]]
                 mime = img.get("mimeType", "")
-            if "png" not in mime and not raw[:8] == b"\x89PNG\r\n\x1a\n":
+            is_png = "png" in mime or raw[:8] == b"\x89PNG\r\n\x1a\n"
+            is_jpg = "jpeg" in mime or "jpg" in mime or raw[:2] == b"\xff\xd8"
+            if is_png:
+                tmp = os.path.join("/tmp", f"_gltf_tex_{ti}.png")
+                with open(tmp, "wb") as f:
+                    f.write(raw)
+                ht = HostTexture(im.read_png(tmp), name=f"embedded_{ti}",
+                                 srgb=srgb)
+            elif is_jpg:
+                ht = HostTexture(im.read_jpeg(bytes(raw)),
+                                 name=f"embedded_{ti}", srgb=srgb)
+            else:
                 return _store(-1)
-            import io
-            tmp = os.path.join("/tmp", f"_gltf_tex_{ti}.png")
-            with open(tmp, "wb") as f:
-                f.write(raw)
-            ht = HostTexture(im.read_png(tmp), name=f"embedded_{ti}",
-                             srgb=srgb)
         return _store(scene.add_texture(ht))
 
     # materials

@@ -175,3 +175,24 @@ class HostMesh:
             v = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
             setattr(out, f, v.astype(np.float32))
         return out
+
+
+def compute_uv_tangents(v0, v1, v2, uv0, uv1, uv2):
+    """Per-triangle uv tangent/bitangent (host_mesh.cpp:545-565): solve the
+    2x2 uv system T*duv1.x + B*duv1.y = e1 etc. Degenerate uv triangles
+    (no uv area) get zero vectors — shading falls back to the branchless
+    ONB frame there. Returns (T [T,3], B [T,3]) float32, normalized."""
+    e1 = (v1 - v0).astype(np.float64)
+    e2 = (v2 - v0).astype(np.float64)
+    d1 = (uv1 - uv0).astype(np.float64)
+    d2 = (uv2 - uv0).astype(np.float64)
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    bad = np.abs(det) < 1e-12
+    r = np.where(bad, 0.0, 1.0 / np.where(bad, 1.0, det))[:, None]
+    t = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * r
+    b = (e2 * d1[:, 0:1] - e1 * d2[:, 0:1]) * r
+    tn = np.linalg.norm(t, axis=-1, keepdims=True)
+    bn = np.linalg.norm(b, axis=-1, keepdims=True)
+    t = np.where(tn > 1e-12, t / np.maximum(tn, 1e-12), 0.0)
+    b = np.where(bn > 1e-12, b / np.maximum(bn, 1e-12), 0.0)
+    return t.astype(np.float32), b.astype(np.float32)

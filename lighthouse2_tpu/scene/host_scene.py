@@ -297,10 +297,15 @@ class HostScene:
             - (world["uv1"] - world["uv0"])[:, 1] * (world["uv2"] - world["uv0"])[:, 0])
         lod = np.where(uva > 0, 0.5 * np.log2(np.maximum(uva, 1e-20) * inv_area), 0.0)
 
+        from lighthouse2_tpu.scene.host_mesh import compute_uv_tangents
+        tanT, tanB = compute_uv_tangents(
+            world["v0"], world["v1"], world["v2"],
+            world["uv0"], world["uv1"], world["uv2"])
         tri9 = np.concatenate(
             [world["v0"].T, e1.T, e2.T], 0).astype(np.float32)
         tris = DeviceTriangles(
             tri9=jnp.asarray(tri9),
+            tangent=jnp.asarray(tanT), bitangent=jnp.asarray(tanB),
             v0=jnp.asarray(world["v0"]), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
             n0=jnp.asarray(world["n0"]), n1=jnp.asarray(world["n1"]),
             n2=jnp.asarray(world["n2"]), face_n=jnp.asarray(world["face_n"]),
@@ -350,7 +355,8 @@ class HostScene:
             # cluster tiles also bake the shading payload rows (normals, uvs,
             # alphas, ids, lod) so the kernel can extract them per hit.
             cbvh = cut_clusters(
-                flat, dict(world, ltri=ltri, lod=lod.astype(np.float32)))
+                flat, dict(world, ltri=ltri, lod=lod.astype(np.float32),
+                           tangent=tanT, bitangent=tanB))
 
         if self.textures:
             from lighthouse2_tpu.scene.host_texture import build_texture_pool

@@ -58,6 +58,8 @@ class HostTexture:
         from lighthouse2_tpu.utils import image as im
         if ext == ".png":
             return HostTexture(im.read_png(path), name=path, srgb=srgb)
+        if ext in (".jpg", ".jpeg"):
+            return HostTexture(im.read_jpeg(path), name=path, srgb=srgb)
         if ext == ".hdr":
             return HostTexture(im.read_hdr(path), name=path, srgb=False)
         if ext in (".ppm", ".pgm"):

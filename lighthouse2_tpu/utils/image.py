@@ -159,3 +159,23 @@ def read_hdr(path: str) -> np.ndarray:
     exp = rgbe[..., 3].astype(np.int32) - 128
     scale = np.where(rgbe[..., 3] > 0, np.exp2(exp.astype(np.float32)) / 256.0, 0.0)
     return mant * scale[..., None]
+
+
+def read_jpeg(path) -> "np.ndarray":
+    """Decode a baseline/progressive JPEG -> uint8 [H,W,3].
+
+    The reference loads textures through FreeImage (host_texture.cpp); the
+    analogous system decoder here is PIL (baked into the image). Gated with
+    a clear error if PIL is unavailable."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "JPEG decoding requires PIL (unavailable in this environment); "
+            "convert the texture to PNG") from e
+    import io
+    if isinstance(path, (bytes, bytearray)):
+        img = Image.open(io.BytesIO(path))
+    else:
+        img = Image.open(path)
+    return np.asarray(img.convert("RGB"))

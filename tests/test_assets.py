@@ -236,3 +236,23 @@ def test_skinning_pose():
                            np.asarray(ds.tris.v0) + np.asarray(ds.tris.e2)])
     # vertices bound to joint 1 moved up by 5
     assert allv[:, 1].max() > 4.9
+
+
+def test_jpeg_texture_loads(tmp_path):
+    """JPEG textures load through HostTexture + the glTF image path
+    (reference: FreeImage handles .jpg; utils/image.read_jpeg here)."""
+    import numpy as np
+    from PIL import Image
+    from lighthouse2_tpu.scene.host_texture import HostTexture
+    rgb = (np.linspace(0, 255, 32 * 32 * 3) % 256).astype(np.uint8)
+    rgb = rgb.reshape(32, 32, 3)
+    p = str(tmp_path / "t.jpg")
+    Image.fromarray(rgb).save(p, quality=95)
+    ht = HostTexture.load(p)
+    assert ht.width == 32 and ht.height == 32
+    assert len(ht.mips) == 5
+    # decoded content resembles the source (JPEG is lossy; sRGB->linear)
+    from lighthouse2_tpu.utils.image import read_jpeg
+    dec = read_jpeg(p)
+    assert dec.shape == (32, 32, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 12

@@ -24,6 +24,7 @@ def make_sd(n, **kw):
         ltri=jnp.full(n, -1, jnp.int32), area=jnp.ones(n),
         uv=jnp.zeros((n, 2)), lod=jnp.zeros(n),
         alpha_cutout=jnp.zeros(n, bool),
+        tangent=jnp.zeros((n, 3)), bitangent=jnp.zeros((n, 3)),
     )
     d.update({k: jnp.asarray(v) for k, v in kw.items()})
     return ShadingData(**d)

@@ -85,3 +85,58 @@ def test_mr_texture_rides_the_payload_path():
         imgs[mode] = np.asarray(finalize(st))
     np.testing.assert_allclose(imgs["cluster"], imgs["lockstep"],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_uv_tangents_and_oriented_frame():
+    """compute_uv_tangents (host_mesh.cpp:545-565) + the shading frame:
+    T follows the uv-u direction, B the uv-v direction, degenerate uvs fall
+    back to the ONB."""
+    import jax.numpy as jnp
+    from lighthouse2_tpu.scene.host_mesh import compute_uv_tangents
+    from lighthouse2_tpu.core.geometry import oriented_frame
+    # triangle in the xz plane with u along +x, v along +z
+    v0 = np.array([[0, 0, 0]], np.float32)
+    v1 = np.array([[2, 0, 0]], np.float32)
+    v2 = np.array([[0, 0, 3]], np.float32)
+    uv0 = np.array([[0, 0]], np.float32)
+    uv1 = np.array([[1, 0]], np.float32)
+    uv2 = np.array([[0, 1]], np.float32)
+    t, b = compute_uv_tangents(v0, v1, v2, uv0, uv1, uv2)
+    np.testing.assert_allclose(t, [[1, 0, 0]], atol=1e-6)
+    np.testing.assert_allclose(b, [[0, 0, 1]], atol=1e-6)
+    # degenerate uvs -> zero tangent
+    tz, bz = compute_uv_tangents(v0, v1, v2, uv0, uv0, uv0)
+    np.testing.assert_allclose(tz, 0.0)
+    # oriented_frame keeps the uv direction, orthogonal to n, uv handedness
+    n = jnp.array([[0.0, 1.0, 0.0]])
+    tf, bf = oriented_frame(n, jnp.asarray(t), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(tf), [[1, 0, 0]], atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.asarray(bf)[0, 2]), 1.0, atol=1e-5)
+    # zero tangent -> ONB fallback (still orthonormal)
+    tf0, bf0 = oriented_frame(n, jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    assert abs(float(jnp.sum(tf0 * n))) < 1e-5
+    assert abs(float(jnp.linalg.norm(tf0)) - 1.0) < 1e-5
+
+
+def test_anisotropy_follows_uv_tangent():
+    """Rotating the uv parameterization by 90 deg must rotate the
+    anisotropic Disney highlight — the frame is author-controlled, not an
+    arbitrary ONB (VERDICT r2 missing #3)."""
+    import jax.numpy as jnp
+    from lighthouse2_tpu.render import bsdf_disney
+    from tests.test_bsdf import make_sd
+    n = 1
+    sd = make_sd(n, roughness=jnp.full(n, 0.3),
+                 anisotropic=jnp.full(n, 0.9),
+                 metallic=jnp.full(n, 1.0),
+                 tangent=jnp.asarray([[1.0, 0, 0]]),
+                 bitangent=jnp.asarray([[0.0, 1.0, 0]]))
+    sd90 = sd.replace(tangent=jnp.asarray([[0.0, 1.0, 0]]),
+                      bitangent=jnp.asarray([[-1.0, 0.0, 0]]))
+    wo = jnp.asarray([[0.0, 0.0, 1.0]])
+    # grazing wi tilted along x: value differs between the two frames
+    wi = jnp.asarray([[0.6, 0.0, 0.8]])
+    f_a, _ = bsdf_disney.evaluate(sd, sd.n_shading, wo, wi)
+    f_b, _ = bsdf_disney.evaluate(sd90, sd.n_shading, wo, wi)
+    assert not np.allclose(np.asarray(f_a), np.asarray(f_b), rtol=0.05), \
+        (np.asarray(f_a), np.asarray(f_b))

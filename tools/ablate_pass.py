@@ -128,7 +128,8 @@ def fake_sd(scene, d, t, prim, u, v, spread, config=None, payload=None,
         eta=one, flags=jnp.zeros((n,), jnp.int32),
         n_geom=nrm, n_interp=nrm, n_shading=nrm, face_dir=one,
         emissive=zero > 1, ltri=jnp.full((n,), -1, jnp.int32), area=one,
-        uv=jnp.zeros((n, 2)), lod=zero, alpha_cutout=zero > 1)
+        uv=jnp.zeros((n, 2)), lod=zero, alpha_cutout=zero > 1,
+        tangent=jnp.zeros((n, 3)), bitangent=jnp.zeros((n, 3)))
 
 
 measure("no get_shading_data", [
