@@ -79,15 +79,19 @@ PAY_ROWS = PAY_GEO_ROWS + PAY_MAT_ROWS   # 64 — full payload height
 class ClusterBVH:
     # COMPONENT-MAJOR top-tree arrays: SMEM pads the minor dimension to 128
     # lanes, so [M,8] would cost 512 B/node (1 MB SMEM blown at ~2k nodes);
-    # [8,M] pads M once and costs 32 B/node.
+    # [8,M] pads M once and costs 48 B/node.
     boxes: jnp.ndarray     # [8,M] f32 rows bmin.xyz, bmax.xyz, pad, pad
-    meta: jnp.ndarray      # [2,M] i32 (skip target; leaf cluster id or -1)
+    meta: jnp.ndarray      # [4,M] i32 rows: 0 skip target (DFS skip link),
+                           #   1 leaf cluster id or -1, 2 right-child id or -1
+                           #   (left child is always id+1 in DFS order),
+                           #   3 split axis 0/2/1 (near-child ordering)
     bmat: jnp.ndarray      # [C*TPC, 8, 768] f32 MXU intersection tiles
     pgeo: jnp.ndarray      # [C*TPC, 32, 128] f32 geometry payload tiles
     n_nodes: int = struct.field(pytree_node=False, default=0)
     n_clusters: int = struct.field(pytree_node=False, default=0)
     tiles_per_cluster: int = struct.field(pytree_node=False, default=1)
     n_prims: int = struct.field(pytree_node=False, default=0)
+    max_depth: int = struct.field(pytree_node=False, default=64)
 
 
 def _default_tri_aux(v0):
@@ -242,19 +246,27 @@ def cut_clusters(flat: dict, tri: dict,
             f"scene too large for the SMEM top tree: {kept} nodes at "
             f"tiles_per_cluster={tpc}")
 
-    # iterative DFS emit with skip links
+    # iterative DFS emit: skip links (row 0) for the stackless walk, explicit
+    # right-child + split-axis (rows 2-3) for the near-child-first stack walk
+    # (the r4 kernel orders children by ray-direction sign per node, like the
+    # reference's ordered Traverse, bvh.cpp:258-302)
     boxes = np.zeros((kept, 8), np.float32)
-    meta = np.zeros((kept, 2), np.int32)
+    meta = np.zeros((kept, 4), np.int32)
+    meta[:, 2] = -1
     clusters = []
     idx = 0
-    stack = [("visit", 0)]
+    max_depth = 1
+    stack = [("visit", 0, -1, 0)]
     while stack:
-        kind, node = stack.pop()
+        kind, node, parent_idx, depth = stack.pop()
         if kind == "close":
             meta[node, 0] = idx          # here node is the emit idx
             continue
         my_idx = idx
         idx += 1
+        max_depth = max(max_depth, depth + 1)
+        if parent_idx >= 0:              # I am the right child of parent_idx
+            meta[parent_idx, 2] = my_idx
         boxes[my_idx, 0:3] = nmin[node]
         boxes[my_idx, 3:6] = nmax[node]
         if sub_cnt[node] <= CLUSTER_LANES * tpc or is_leaf[node]:
@@ -264,9 +276,15 @@ def cut_clusters(flat: dict, tri: dict,
             meta[my_idx, 0] = my_idx + 1
         else:
             meta[my_idx, 1] = -1
-            stack.append(("close", my_idx))
-            stack.append(("visit", int(right[node])))
-            stack.append(("visit", int(left[node])))
+            l, r = int(left[node]), int(right[node])
+            # split axis = largest |child-centre delta|: the direction sign
+            # along it decides which child is nearer for a ray packet
+            cl = 0.5 * (nmin[l] + nmax[l])
+            cr2 = 0.5 * (nmin[r] + nmax[r])
+            meta[my_idx, 3] = int(np.argmax(np.abs(cr2 - cl)))
+            stack.append(("close", my_idx, -1, 0))
+            stack.append(("visit", r, my_idx, depth + 1))
+            stack.append(("visit", l, -1, depth + 1))
     assert idx == kept, (idx, kept)
 
     c = len(clusters)
@@ -331,4 +349,5 @@ def cut_clusters(flat: dict, tri: dict,
         n_clusters=c,
         tiles_per_cluster=tpc,
         n_prims=int(v0.shape[0]),
+        max_depth=int(max_depth),
     )

@@ -71,12 +71,17 @@ class RenderConfig:
     # order rays in 32x32 pixel tiles so each 1024-ray kernel block is
     # spatially coherent (packet traversal); auto-disabled unless w,h % 32
     tile_order: bool = True
-    # per-bounce ray binning (cluster intersector): sort the wavefront by
-    # origin-morton-cell + direction octant before tracing so packet blocks
-    # stay coherent at bounce>=2 and dead lanes collapse into skippable
-    # tail blocks (the TPU analog of the reference's stream compaction,
-    # pathtracer.h:233)
+    # per-bounce ray binning (cluster intersector): sort BOUNCE wavefronts
+    # by origin-cell + direction-morton before tracing so packet blocks stay
+    # coherent at bounce>=1 and dead lanes collapse into skippable tail
+    # blocks (the TPU analog of the reference's stream compaction,
+    # pathtracer.h:233). Primary rays are never sorted (tile order is
+    # already optimal — measured, tools/visit_histogram.py).
     ray_sort: bool = True
+    # sort shadow batches too (origin-morton + octant). Off by default:
+    # measured unions are already small (~24 on bathroom) and the sort
+    # machinery costs more than it saves below ~hundreds of clusters/block
+    shadow_sort: bool = False
     # scene-sharded multi-chip mode (parallel/scene_shard.py): triangles are
     # sharded over a mesh axis and per-hit shading rows arrive via psum, so
     # shading must consume payload rows directly (no global gather packs)

@@ -1,31 +1,50 @@
-"""Speculative packet BVH traversal — the TPU intersection kernel (round 3).
+"""Frustum-culled packet BVH traversal — the TPU intersection kernel (round 4).
 
 The reference's hot trace stage is an OptiX RTX launch (rendercore_optix7/
 optix/.optix.cu:151-170); the CPU core traverses a BVH2 recursively per ray
-(RenderCore_Bart/bvh.cpp:258-302). Neither maps to a TPU. This kernel is the
-TPU-native redesign:
+with near-child-first ordering (RenderCore_Bart/bvh.cpp:258-302). Neither
+maps to a TPU. Round 3 used speculative packet traversal: one scalar node
+pointer per 1024-ray block walking a skip-link DFS, every ray paying for the
+UNION of clusters any ray needed. That collapsed on 1000-cluster scenes
+(bathroom: blocks visited ~250 of 1083 clusters; 26x slower than cornell).
+Round-4 redesign — work now scales with per-SUB-PACKET needs, not the
+block union, and the walk itself is off the vector units:
 
-  - rays are processed in BLOCKS of 1024, stored COMPONENT-MAJOR as one
-    [8, 1024] tile: rows o.xyz, d.xyz, 1, tmax. The whole block walks the
-    tree in lockstep with ONE scalar node pointer (no per-ray stack);
-  - the top tree is DFS-ordered with SKIP LINKS (bvh/clusters.py): if any
-    ray in the block enters a node's AABB the block descends (node+1),
-    otherwise it jumps the whole subtree (skip). Node boxes are scalar-
-    prefetched into SMEM;
+  - the top tree is walked per block by the SCALAR core with an explicit
+    SMEM stack, near-child-first (split axis x direction sign, like the
+    reference's ordered Traverse) so closest hits are found early and a
+    scalar best_max prunes far subtrees;
+  - node culling is a CONSERVATIVE INTERVAL slab test of the block's ray
+    frustum (origin box x inverse-direction interval, computed outside the
+    kernel per block) — a ~60-scalar-op test the scalar core runs while the
+    VPU/MXU process the previous leaf, replacing the round-3 per-node
+    [1,1024] vector slab (8 vregs/op at 1/8 sublane utilization);
+  - at each visited leaf, ONE cheap [8,128]-layout per-lane slab test (the
+    1024 lanes re-shaped so all 8 sub-packets occupy sublanes — full VPU
+    utilization) yields per-lane hit masks with per-lane best-t pruning;
+    only SUB-PACKETS (128 rays) with candidate lanes run the MXU
+    intersection, so a leaf needed by 1 of 8 sub-packets costs 1/8 of the
+    round-3 visit;
   - leaves are 128-triangle CLUSTER tiles in plane+barycentric form
-    (clusters.py `bmat`): one MXU dot_general([8,768],[8,1024]) yields all
-    six linear forms for every (ray, triangle) pair; a short dense VPU
-    epilogue selects hits. No per-triangle scalar loop (the round-2 kernel
-    broadcast 128 triangles sequentially from SMEM — ~10x more VPU work);
+    (clusters.py `bmat`): one MXU dot_general([8,768],[8,128]) per
+    participating sub-packet yields all six linear forms for every
+    (ray, triangle) pair; a short dense VPU epilogue selects hits;
   - the winning triangle's 64-row shading PAYLOAD (geometry host-baked,
     material rows device-baked per pass) is extracted in-kernel by a
-    one-hot matmul, so the shade stage needs ZERO per-primitive gathers —
-    XLA per-ray gathers measured ~85% of the round-2 frame
-    (STAGE_TIMES_r03.json).
+    one-hot matmul, so the shade stage needs ZERO per-primitive gathers
+    (the round-3 fix that removed the gather-bound profile);
+  - bmat + payload tiles stream HBM->VMEM double-buffered: the next leaf is
+    prefetched while the current one is intersected;
+  - per-block visit counters are written to payload rows PAY_STAT_* — the
+    ColorDebugBVH analog (raytracer.cpp:102-120) and the artifact for
+    STAGE_TIMES_r04.
 
-Speculation cost: every ray in a block pays for the union of clusters any
-ray in the block needs — the classic packet-traversal trade. Rays are
-therefore ordered tile-coherently by the caller (render/wavefront.py).
+Ray-order contract (render/wavefront.py): primary rays arrive in 32x32
+pixel-tile order (block union on the bathroom interior: ~15 clusters —
+measured, tools/visit_histogram.py; sorting primaries makes them WORSE);
+bounce rays are sorted by coarse-origin-cell + direction-morton
+(ray_sort_perm key="dir": union 132 vs 227 unsorted at bounce 1); shadow
+rays are naturally coherent (union ~24) and left unsorted by default.
 
 Differentiability: traversal is discrete and every kernel output is
 gradient-stopped; gradients re-enter through `reattach_rows`
@@ -46,198 +65,281 @@ from lighthouse2_tpu.bvh.clusters import (
     PAY_PRIM, PAY_MAT, PAY_VALID, PAY_GEO_ROWS, PAY_MAT_ROWS, PAY_ROWS,
 )
 
-BLOCK = 1024           # rays per packet (lanes of the [8,1024] ray tile)
+BLOCK = 1024           # rays per packet (one scalar walk per block)
+SUB = 128              # sub-packet lanes (vreg lane width)
+NSUB = BLOCK // SUB
 CHUNK_BLOCKS = 16      # ray blocks per pallas launch (VMEM budget)
 MT_EPS = 1e-6          # t epsilon (bvh/traverse.py parity)
 BIG = 1e30
 _PREC = jax.lax.Precision.HIGHEST   # f32-accurate MXU (bf16x3 passes)
 
+# per-block debug counters, written into the payload's pad rows after the
+# walk (consumed by render/probe.py bvh_heatmap and tools/trace_stats.py)
+PAY_STAT_VISITS = PAY_GEO_ROWS - 2   # 38: cluster-tile visits of the block
+PAY_STAT_SUBS = PAY_GEO_ROWS - 1     # 39: sub-packet MXU intersections
 
-def _walk_to_leaf(node, best, boxes_ref, meta_ref, n_nodes,
-                  ox, oy, oz, ix, iy, iz):
-    """Advance the node pointer to the next cluster leaf whose AABB any ray
-    enters, or to n_nodes. One slab test per node; the stop flag is carried
-    so cond() does no vector work."""
-    def slab(nd):
-        t0x = (boxes_ref[0, nd] - ox) * ix
-        t1x = (boxes_ref[3, nd] - ox) * ix
-        t0y = (boxes_ref[1, nd] - oy) * iy
-        t1y = (boxes_ref[4, nd] - oy) * iy
-        t0z = (boxes_ref[2, nd] - oz) * iz
-        t1z = (boxes_ref[5, nd] - oz) * iz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        tn = jnp.maximum(tn, 0.0)
-        return (tf >= tn) & (tn < best)
-
-    def w_cond(c):
-        return ~c[1]
-
-    def w_body(c):
-        nd, _ = c
-        hit = slab(nd)
-        anyh = jnp.any(hit)
-        is_leaf = meta_ref[1, nd] >= 0
-        hit_leaf = anyh & is_leaf
-        nxt = jnp.where(anyh & ~is_leaf, nd + 1, meta_ref[0, nd])
-        nxt = jnp.where(hit_leaf, nd, nxt)
-        return nxt, hit_leaf | (nxt >= n_nodes)
-
-    nd, _ = jax.lax.while_loop(w_cond, w_body, (node, node >= n_nodes))
-    return nd
+# frustum-row layout ([16, n_blocks] f32 scalar-prefetch, _block_frustum)
+FR_OMIN, FR_OMAX, FR_IMIN, FR_IMAX = 0, 3, 6, 9
+FR_TLIM, FR_LIVE = 12, 13
+FR_ROWS = 16
 
 
-def _intersect_tile(bscratch, X, best):
-    """All-pairs plane/barycentric test of one 128-triangle tile against a
-    1024-ray block. Returns (tm [128,1024] candidate t or BIG, tb [1,1024])."""
-    L = CLUSTER_LANES
-    out = jax.lax.dot_general(bscratch[:], X, (((0,), (0,)), ((), ())),
+def _frustum_hit(boxes_ref, fr_ref, b, nd, tlim):
+    """Conservative scalar slab test: can ANY ray in the block's frustum
+    (origin box x inverse-direction interval) hit node `nd` before tlim?
+    ~60 scalar ops, fully overlapped with vector work by the scalar core."""
+    tn = jnp.float32(0.0)
+    tf = jnp.float32(BIG)
+    for a in range(3):
+        om_lo = fr_ref[FR_OMIN + a, b]
+        om_hi = fr_ref[FR_OMAX + a, b]
+        i_lo = fr_ref[FR_IMIN + a, b]
+        i_hi = fr_ref[FR_IMAX + a, b]
+        u1 = boxes_ref[a, nd] - om_hi        # (bmin - o) interval
+        v1 = boxes_ref[a, nd] - om_lo
+        u2 = boxes_ref[3 + a, nd] - om_hi    # (bmax - o) interval
+        v2 = boxes_ref[3 + a, nd] - om_lo
+        p = (u1 * i_lo, u1 * i_hi, v1 * i_lo, v1 * i_hi,
+             u2 * i_lo, u2 * i_hi, v2 * i_lo, v2 * i_hi)
+        lo = jnp.minimum(jnp.minimum(jnp.minimum(p[0], p[1]),
+                                     jnp.minimum(p[2], p[3])),
+                         jnp.minimum(jnp.minimum(p[4], p[5]),
+                                     jnp.minimum(p[6], p[7])))
+        hi = jnp.maximum(jnp.maximum(jnp.maximum(p[0], p[1]),
+                                     jnp.maximum(p[2], p[3])),
+                         jnp.maximum(jnp.maximum(p[4], p[5]),
+                                     jnp.maximum(p[6], p[7])))
+        tn = jnp.maximum(tn, lo)
+        tf = jnp.minimum(tf, hi)
+    return (tf >= tn) & (tn < tlim)
+
+
+def _make_next_leaf(boxes_ref, meta_ref, fr_ref, b, stack, n_nodes):
+    """Scalar stack walk: pop until a frustum-hit leaf is found (returns its
+    node id) or the stack empties (returns -1). Children are pushed far-
+    first so the near child (by direction sign on the node's split axis)
+    pops first — the reference's ordered traversal (bvh.cpp:258-302)."""
+    def next_leaf(sp, tlim):
+        def cond(c):
+            sp_, leaf = c
+            return (leaf < 0) & (sp_ > 0)
+
+        def body(c):
+            sp_, _ = c
+            nd = stack[sp_ - 1]
+            sp_ = sp_ - 1
+            hit = _frustum_hit(boxes_ref, fr_ref, b, nd, tlim)
+            is_leaf = meta_ref[1, nd] >= 0
+            leaf = jnp.where(hit & is_leaf, nd, -1)
+            push = hit & ~is_leaf
+
+            @pl.when(push)
+            def _():
+                right = meta_ref[2, nd]
+                axis = meta_ref[3, nd]
+                near_left = (fr_ref[FR_IMIN + axis, b]
+                             + fr_ref[FR_IMAX + axis, b]) >= 0.0
+                stack[sp_] = jnp.where(near_left, right, nd + 1)      # far
+                stack[sp_ + 1] = jnp.where(near_left, nd + 1, right)  # near
+
+            return jnp.where(push, sp_ + 2, sp_), leaf
+
+        return jax.lax.while_loop(cond, body, (sp, jnp.int32(-1)))
+    return next_leaf
+
+
+def _lane_slab(boxes_ref, nd, o8, i8, best8):
+    """Per-lane leaf AABB test in the [NSUB, SUB] sub-packet layout (full
+    VPU utilization: sublane = sub-packet). Returns candidate mask."""
+    (ox, oy, oz), (ix, iy, iz) = o8, i8
+    t0x = (boxes_ref[0, nd] - ox) * ix
+    t1x = (boxes_ref[3, nd] - ox) * ix
+    t0y = (boxes_ref[1, nd] - oy) * iy
+    t1y = (boxes_ref[4, nd] - oy) * iy
+    t0z = (boxes_ref[2, nd] - oz) * iz
+    t1z = (boxes_ref[5, nd] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.minimum(t0y, t1y)),
+                     jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    return (tf >= tn) & (tn < best8)
+
+
+def _sub_forms(bscratch_buf, x_ref, c0, s):
+    """MXU intersection of one 128-triangle tile against sub-packet s:
+    six linear forms for every (triangle, ray) pair, [6][SUB, SUB]."""
+    xs = x_ref[(slice(None), pl.ds(c0 + s * SUB, SUB))]      # [8, 128]
+    out = jax.lax.dot_general(bscratch_buf[:], xs, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
-                              precision=_PREC)          # [768, 1024]
-    tn_ = out[0 * L:1 * L]
-    dn = out[1 * L:2 * L]
-    ou = out[2 * L:3 * L]
-    du = out[3 * L:4 * L]
-    ov = out[4 * L:5 * L]
-    dv = out[5 * L:6 * L]
-    t = tn_ / dn                      # padding: -1/0 = -inf, never passes
+                              precision=_PREC)               # [768, 128]
+    L = CLUSTER_LANES
+    return [out[k * L:(k + 1) * L] for k in range(6)]
 
+
+def _sub_hits(forms, limit_row):
+    """VPU epilogue: candidate t per (tri, ray) in [SUB,SUB] and the best
+    candidate per ray [1,SUB], pruned against limit_row [1,SUB]."""
+    tn_, dn, ou, du, ov, dv = forms
+    t = tn_ / dn                      # padding: -1/0 = -inf, never passes
     u = ou + t * du
     v = ov + t * dv
     ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-          & (t > MT_EPS) & (t < best))
+          & (t > MT_EPS) & (t < limit_row))
     tm = jnp.where(ok, t, BIG)
     tb = jnp.min(tm, axis=0, keepdims=True)
     return tm, tb
 
 
+import os
+# kernel-internals ablation for tools/measure_r4.py attribution (dev only):
+#  subs=skip sub-packet intersection entirely; nosubmask=intersect all 8
+#  sub-packets unconditionally; nopay=skip payload extraction; noslab=skip
+#  the per-lane leaf mask (use all-true)
+_ABLATE = set(os.environ.get("TRACE_ABLATE", "").split(","))
+
+
 def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
-    def kernel(boxes_ref, meta_ref,          # scalar-prefetch (SMEM)
-               bmat_ref, pay_ref,            # ANY (HBM) tile stores
-               x_ref,                        # [8, Nc] rays
-               pay_out,                      # [PAY_ROWS, Nc]
-               bscratch, pscratch, bsem, psem):
+    tpc = tiles_per_cluster
+
+    def kernel(boxes_ref, meta_ref, fr_ref,   # scalar-prefetch (SMEM)
+               bmat_ref, pay_ref,             # ANY (HBM) tile stores
+               x_ref,                         # [8, Nc] rays
+               pay_out,                       # [PAY_ROWS, Nc]
+               bscratch, pscratch, best_ref, stack, bsem, psem):
+
+        def start_dma(nd, t_off, buf):
+            cid = jnp.maximum(meta_ref[1, nd], 0)
+            t_idx = cid * tpc + t_off
+            pltpu.make_async_copy(bmat_ref.at[t_idx], bscratch.at[buf],
+                                  bsem.at[buf]).start()
+            if "nopaydma" not in _ABLATE:
+                pltpu.make_async_copy(pay_ref.at[t_idx], pscratch.at[buf],
+                                      psem.at[buf]).start()
+
+        def wait_dma(nd, t_off, buf):
+            cid = jnp.maximum(meta_ref[1, nd], 0)
+            t_idx = cid * tpc + t_off
+            pltpu.make_async_copy(bmat_ref.at[t_idx], bscratch.at[buf],
+                                  bsem.at[buf]).wait()
+            if "nopaydma" not in _ABLATE:
+                pltpu.make_async_copy(pay_ref.at[t_idx], pscratch.at[buf],
+                                      psem.at[buf]).wait()
 
         def trace_block(b, _):
             c0 = pl.multiple_of(b * BLOCK, BLOCK)
             sl = (slice(None), pl.ds(c0, BLOCK))
-            X = x_ref[sl]                             # [8, 1024]
-            ox, oy, oz = X[0:1], X[1:2], X[2:3]
-            dx, dy, dz = X[3:4], X[4:5], X[5:6]
-            tmax = X[7:8]
-
-            def inv(d):
-                mag = jnp.maximum(jnp.abs(d), 1e-20)
-                return jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
-            ix, iy, iz = inv(dx), inv(dy), inv(dz)
-
             rows = jax.lax.broadcasted_iota(jnp.int32, (PAY_ROWS, BLOCK), 0)
-            # payload accumulates in the OUTPUT ref (RMW per visit) — large
-            # arrays in while-loop carries fail Mosaic layout legalization
-            pay_out[sl] = jnp.where((rows == PAY_PRIM), -1.0, 0.0)
-            any_live = jnp.any(tmax > 0.0)
+            pay_out[sl] = jnp.where(rows == PAY_PRIM, -1.0, 0.0)
 
-            def intersect_and_extract(t_idx, buf, best):
-                """Intersect the tile in bscratch[buf]; on improvement, DMA
-                the payload tile (32KB, ONLY then — most visits don't
-                improve) and extract the winners by one-hot matmul."""
-                tm, tb = _intersect_tile(bscratch.at[buf], X, best)
-                upd = tb < best
+            @pl.when(fr_ref[FR_LIVE, b] > 0.0)
+            def _():
+                X = x_ref[sl]                                # [8, 1024]
+                o8 = tuple(X[c:c + 1].reshape(NSUB, SUB) for c in range(3))
 
-                @pl.when(jnp.any(upd))
+                def inv(dd):
+                    mag = jnp.maximum(jnp.abs(dd), 1e-18)
+                    return jnp.where(dd < 0, -1.0 / mag, 1.0 / mag)
+                i8 = tuple(inv(X[c:c + 1].reshape(NSUB, SUB))
+                           for c in range(3, 6))
+                best_ref[:, :] = X[7:8].reshape(NSUB, SUB)   # per-lane tmax
+
+                next_leaf = _make_next_leaf(boxes_ref, meta_ref, fr_ref, b,
+                                            stack, n_nodes)
+
+                def process_tile(nd, t_off, buf, subs):
+                    if "noslab" in _ABLATE:
+                        lhit = jnp.ones((NSUB, SUB), jnp.bool_)
+                    else:
+                        lhit = _lane_slab(boxes_ref, nd, o8, i8,
+                                          best_ref[:, :])
+                    if "subs" in _ABLATE:
+                        return subs + 1
+                    for s in range(NSUB):
+                        srow = lhit[s:s + 1, :]
+
+                        def sub_body(s=s, srow=srow):
+                            forms = _sub_forms(bscratch.at[buf], x_ref,
+                                               c0, s)
+                            bs = best_ref[s:s + 1, :]
+                            tm, tb = _sub_hits(forms, bs)
+                            upd = tb < bs
+
+                            @pl.when(jnp.any(upd))
+                            def _():
+                                if "nopay" not in _ABLATE:
+                                    ri = jax.lax.broadcasted_iota(
+                                        jnp.int32, (CLUSTER_LANES, SUB), 0)
+                                    cand = tm <= tb
+                                    win = jnp.min(
+                                        jnp.where(cand, ri, CLUSTER_LANES),
+                                        axis=0, keepdims=True)
+                                    S = ((ri == win) & cand).astype(
+                                        jnp.float32)
+                                    p_new = jax.lax.dot_general(
+                                        pscratch.at[buf][:], S,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=_PREC)  # [PAY_ROWS, SUB]
+                                    psl = (slice(None),
+                                           pl.ds(c0 + s * SUB, SUB))
+                                    pay_out[psl] = jnp.where(upd, p_new,
+                                                             pay_out[psl])
+                                best_ref[s:s + 1, :] = jnp.where(upd, tb, bs)
+
+                        if "nosubmask" in _ABLATE:
+                            sub_body()
+                        else:
+                            pl.when(jnp.any(srow))(sub_body)
+                        subs += jnp.any(srow).astype(jnp.int32)
+                    return subs
+
+                stack[0] = jnp.int32(0)
+                tlim0 = fr_ref[FR_TLIM, b]
+                sp, l0 = next_leaf(jnp.int32(1), tlim0)
+
+                @pl.when(l0 >= 0)
                 def _():
-                    pdma = pltpu.make_async_copy(pay_ref.at[t_idx],
-                                                 pscratch, psem)
-                    pdma.start()
-                    # exclusive winner lane (smallest t, lowest lane)
-                    ri = jax.lax.broadcasted_iota(
-                        jnp.int32, (CLUSTER_LANES, BLOCK), 0)
-                    cand = tm <= tb
-                    win = jnp.min(jnp.where(cand, ri, CLUSTER_LANES),
-                                  axis=0, keepdims=True)
-                    S = ((ri == win) & cand).astype(jnp.float32)
-                    pdma.wait()
-                    p_new = jax.lax.dot_general(
-                        pscratch[:], S, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_PREC)              # [PAY_ROWS, 1024]
-                    pay_out[sl] = jnp.where(upd, p_new, pay_out[sl])
+                    start_dma(l0, 0, 0)
 
-                return jnp.where(upd, tb, best)
-
-            def bdma(t_idx, buf):
-                return pltpu.make_async_copy(bmat_ref.at[t_idx],
-                                             bscratch.at[buf], bsem.at[buf])
-
-            if tiles_per_cluster == 1:
-                # SOFTWARE-PIPELINED leaf loop: the next leaf's bmat tile
-                # streams into the other buffer while the current tile is
-                # intersected — the DMA start→wait latency was the dominant
-                # serial cost on 1000-cluster scenes (VERDICT r2 next #1)
                 def cond(c):
-                    return c[0] < n_nodes
+                    return c[0] >= 0
 
                 def body(c):
-                    node, phase, best = c
-                    nd_c = jnp.minimum(node, n_nodes - 1)
-                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
-                    # walk ahead (stale best -> superset of visits, safe)
-                    nxt = _walk_to_leaf(meta_ref[0, nd_c], best, boxes_ref,
-                                        meta_ref, n_nodes, ox, oy, oz,
-                                        ix, iy, iz)
+                    l0, sp, phase, bm, visits, subs = c
+                    sp, l1 = next_leaf(sp, bm)
 
-                    @pl.when(nxt < n_nodes)
+                    @pl.when(l1 >= 0)
                     def _():
-                        nx_c = jnp.minimum(nxt, n_nodes - 1)
-                        bdma(jnp.maximum(meta_ref[1, nx_c], 0),
-                             1 - phase).start()
+                        start_dma(l1, 0, 1 - phase)
 
-                    bdma(cid, phase).wait()
-                    best = intersect_and_extract(cid, phase, best)
-                    return nxt, 1 - phase, best
+                    wait_dma(l0, 0, phase)
+                    subs = process_tile(l0, 0, phase, subs)
+                    if tpc > 1:          # fat clusters: remaining tiles sync
+                        def tile_body(j, subs):
+                            start_dma(l0, j, phase)
+                            wait_dma(l0, j, phase)
+                            return process_tile(l0, j, phase, subs)
+                        subs = jax.lax.fori_loop(1, tpc, tile_body, subs)
+                    if "nobm" in _ABLATE:
+                        bm = tlim0
+                    else:
+                        bm = jnp.max(best_ref[:, :])
+                    return (l1, sp, 1 - phase, bm, visits + tpc, subs)
 
-                node0 = _walk_to_leaf(jnp.int32(0), tmax, boxes_ref,
-                                      meta_ref, n_nodes, ox, oy, oz,
-                                      ix, iy, iz)
+                _, _, _, _, visits, subs = jax.lax.while_loop(
+                    cond, body,
+                    (l0, sp, jnp.int32(0), tlim0, jnp.int32(0),
+                     jnp.int32(0)))
 
-                @pl.when(node0 < n_nodes)
-                def _():
-                    nd0 = jnp.minimum(node0, n_nodes - 1)
-                    bdma(jnp.maximum(meta_ref[1, nd0], 0), 0).start()
-
-                _, _, best = jax.lax.while_loop(
-                    cond, body, (node0, jnp.int32(0), tmax))
-            else:
-                def visit_cluster(cid, best):
-                    def tile_body(j, best):
-                        t_idx = cid * tiles_per_cluster + j
-                        dma = bdma(t_idx, 0)
-                        dma.start()
-                        dma.wait()
-                        return intersect_and_extract(t_idx, 0, best)
-                    return jax.lax.fori_loop(0, tiles_per_cluster,
-                                             tile_body, best)
-
-                def cond(c):
-                    return (c[0] < n_nodes) & any_live
-
-                def body(c):
-                    node, best = c
-                    node = _walk_to_leaf(node, best, boxes_ref, meta_ref,
-                                         n_nodes, ox, oy, oz, ix, iy, iz)
-                    nd_c = jnp.minimum(node, n_nodes - 1)
-                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
-                    best = visit_cluster(cid, best)
-                    return meta_ref[0, nd_c], best
-
-                _, best = jax.lax.while_loop(cond, body,
-                                             (jnp.int32(0), tmax))
-            # miss lanes keep t = tmax; row PAY_VALID of the OUTPUT carries t
-            pay_out[(pl.ds(PAY_VALID, 1), pl.ds(c0, BLOCK))] = best
+                # per-lane best t -> PAY_VALID row; per-block debug counters
+                pay_out[(pl.ds(PAY_VALID, 1), pl.ds(c0, BLOCK))] = \
+                    best_ref[:, :].reshape(1, BLOCK)
+                pay_out[(pl.ds(PAY_STAT_VISITS, 1), pl.ds(c0, BLOCK))] = \
+                    jnp.full((1, BLOCK), visits.astype(jnp.float32))
+                pay_out[(pl.ds(PAY_STAT_SUBS, 1), pl.ds(c0, BLOCK))] = \
+                    jnp.full((1, BLOCK), subs.astype(jnp.float32))
             return 0
 
         jax.lax.fori_loop(0, n_blocks, trace_block, 0)
@@ -245,136 +347,158 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
 
 
 def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
-    def kernel(boxes_ref, meta_ref, bmat_ref, x_ref, occ_out,
-               bscratch, bsem):
+    tpc = tiles_per_cluster
+
+    def kernel(boxes_ref, meta_ref, fr_ref, bmat_ref, x_ref, occ_out,
+               bscratch, occ_ref, stack, bsem):
+
+        def start_dma(nd, t_off, buf):
+            cid = jnp.maximum(meta_ref[1, nd], 0)
+            pltpu.make_async_copy(bmat_ref.at[cid * tpc + t_off],
+                                  bscratch.at[buf], bsem.at[buf]).start()
+
+        def wait_dma(nd, t_off, buf):
+            cid = jnp.maximum(meta_ref[1, nd], 0)
+            pltpu.make_async_copy(bmat_ref.at[cid * tpc + t_off],
+                                  bscratch.at[buf], bsem.at[buf]).wait()
 
         def trace_block(b, _):
             c0 = pl.multiple_of(b * BLOCK, BLOCK)
             sl = (slice(None), pl.ds(c0, BLOCK))
-            X = x_ref[sl]
-            ox, oy, oz = X[0:1], X[1:2], X[2:3]
-            dx, dy, dz = X[3:4], X[4:5], X[5:6]
-            tmax = X[7:8]
+            occ_out[(pl.ds(0, 1), pl.ds(c0, BLOCK))] = jnp.zeros(
+                (1, BLOCK), jnp.float32)
 
-            def inv(d):
-                mag = jnp.maximum(jnp.abs(d), 1e-20)
-                return jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
-            ix, iy, iz = inv(dx), inv(dy), inv(dz)
+            @pl.when(fr_ref[FR_LIVE, b] > 0.0)
+            def _():
+                X = x_ref[sl]
+                o8 = tuple(X[c:c + 1].reshape(NSUB, SUB) for c in range(3))
 
-            def bdma(t_idx, buf):
-                return pltpu.make_async_copy(bmat_ref.at[t_idx],
-                                             bscratch.at[buf], bsem.at[buf])
+                def inv(dd):
+                    mag = jnp.maximum(jnp.abs(dd), 1e-18)
+                    return jnp.where(dd < 0, -1.0 / mag, 1.0 / mag)
+                i8 = tuple(inv(X[c:c + 1].reshape(NSUB, SUB))
+                           for c in range(3, 6))
+                tmax8 = X[7:8].reshape(NSUB, SUB)
+                # occluded-or-dead as f32 0/1 (i1 vectors fail Mosaic
+                # legalization in loop-carried positions)
+                occ_ref[:, :] = (tmax8 <= 0.0).astype(jnp.float32)
 
-            # occlusion carried as f32 0/1 — i1 vectors in while carries
-            # fail Mosaic's scf.yield legalization
-            if tiles_per_cluster == 1:
-                # software-pipelined leaf loop (see closest kernel)
+                next_leaf = _make_next_leaf(boxes_ref, meta_ref, fr_ref, b,
+                                            stack, n_nodes)
+
+                def process_tile(nd, buf):
+                    live8 = occ_ref[:, :] < 0.5
+                    lhit = _lane_slab(boxes_ref, nd, o8, i8,
+                                      jnp.where(live8, tmax8, 0.0))
+                    for s in range(NSUB):
+                        srow = lhit[s:s + 1, :]
+
+                        @pl.when(jnp.any(srow))
+                        def _(s=s):
+                            forms = _sub_forms(bscratch.at[buf], x_ref,
+                                               c0, s)
+                            ts = tmax8[s:s + 1, :]
+                            _, tb = _sub_hits(forms, ts)
+                            occ_ref[s:s + 1, :] = jnp.maximum(
+                                occ_ref[s:s + 1, :],
+                                (tb < ts).astype(jnp.float32))
+                    # fire-and-forget: the traversal bound shrinks to the
+                    # farthest still-unoccluded lane (TERMINATE_ON_FIRST_HIT)
+                    return jnp.max(jnp.where(occ_ref[:, :] < 0.5, tmax8,
+                                             0.0))
+
+                stack[0] = jnp.int32(0)
+                tlim0 = fr_ref[FR_TLIM, b]
+                sp, l0 = next_leaf(jnp.int32(1), tlim0)
+
+                @pl.when(l0 >= 0)
+                def _():
+                    start_dma(l0, 0, 0)
+
                 def cond(c):
-                    node, phase, occ = c
-                    # fire-and-forget: stop once every live ray is occluded
-                    # (OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT analog)
-                    return (node < n_nodes) & jnp.any((occ < 0.5)
-                                                      & (tmax > 0.0))
+                    return (c[0] >= 0) & (c[3] > 0.0)
 
                 def body(c):
-                    node, phase, occ = c
-                    nd_c = jnp.minimum(node, n_nodes - 1)
-                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
-                    nxt = _walk_to_leaf(meta_ref[0, nd_c], tmax, boxes_ref,
-                                        meta_ref, n_nodes, ox, oy, oz,
-                                        ix, iy, iz)
+                    l0, sp, phase, bm = c
+                    sp, l1 = next_leaf(sp, bm)
 
-                    @pl.when(nxt < n_nodes)
+                    @pl.when(l1 >= 0)
                     def _():
-                        nx_c = jnp.minimum(nxt, n_nodes - 1)
-                        bdma(jnp.maximum(meta_ref[1, nx_c], 0),
-                             1 - phase).start()
+                        start_dma(l1, 0, 1 - phase)
 
-                    bdma(cid, phase).wait()
-                    _, tb = _intersect_tile(bscratch.at[phase], X, tmax)
-                    occ = jnp.maximum(occ, (tb < tmax).astype(jnp.float32))
-                    return nxt, 1 - phase, occ
+                    wait_dma(l0, 0, phase)
+                    bm = process_tile(l0, phase)
+                    if tpc > 1:
+                        def tile_body(j, bm):
+                            start_dma(l0, j, phase)
+                            wait_dma(l0, j, phase)
+                            return process_tile(l0, phase)
+                        bm = jax.lax.fori_loop(1, tpc, tile_body, bm)
+                    return (l1, sp, 1 - phase, bm)
 
-                node0 = _walk_to_leaf(jnp.int32(0), tmax, boxes_ref,
-                                      meta_ref, n_nodes, ox, oy, oz,
-                                      ix, iy, iz)
+                lx, _, px, _ = jax.lax.while_loop(
+                    cond, body, (l0, sp, jnp.int32(0), tlim0))
 
-                @pl.when(node0 < n_nodes)
+                # the all-occluded early exit can leave l0's prefetch in
+                # flight — drain it or the semaphore pairs with the wrong
+                # copy in the next block
+                @pl.when(lx >= 0)
                 def _():
-                    nd0 = jnp.minimum(node0, n_nodes - 1)
-                    bdma(jnp.maximum(meta_ref[1, nd0], 0), 0).start()
+                    wait_dma(lx, 0, px)
 
-                node_x, phase_x, occ = jax.lax.while_loop(
-                    cond, body, (node0, jnp.int32(0),
-                                 (tmax <= 0.0).astype(jnp.float32)))
-
-                # the all-occluded early exit can leave the prefetch for
-                # `node_x` in flight (started into buffer phase_x by the
-                # last iteration) — drain it or the semaphore carries into
-                # the next block and pairs with the wrong copy
-                @pl.when(node_x < n_nodes)
-                def _():
-                    nd_x = jnp.minimum(node_x, n_nodes - 1)
-                    bdma(jnp.maximum(meta_ref[1, nd_x], 0), phase_x).wait()
-            else:
-                def visit_cluster(cid, occ):
-                    def tile_body(j, occ):
-                        t_idx = cid * tiles_per_cluster + j
-                        dma = bdma(t_idx, 0)
-                        dma.start()
-                        dma.wait()
-                        _, tb = _intersect_tile(bscratch.at[0], X, tmax)
-                        return jnp.maximum(occ,
-                                           (tb < tmax).astype(jnp.float32))
-                    return jax.lax.fori_loop(0, tiles_per_cluster,
-                                             tile_body, occ)
-
-                def cond(c):
-                    node, occ = c
-                    return (node < n_nodes) & jnp.any((occ < 0.5)
-                                                      & (tmax > 0.0))
-
-                def body(c):
-                    node, occ = c
-                    # prune against tmax only: occluded lanes keep best=tmax
-                    # but the loop exits once all live lanes are occluded
-                    node = _walk_to_leaf(node, tmax, boxes_ref, meta_ref,
-                                         n_nodes, ox, oy, oz, ix, iy, iz)
-                    nd_c = jnp.minimum(node, n_nodes - 1)
-                    cid = jnp.maximum(meta_ref[1, nd_c], 0)
-                    occ = visit_cluster(cid, occ)
-                    return meta_ref[0, nd_c], occ
-
-                _, occ = jax.lax.while_loop(
-                    cond, body,
-                    (jnp.int32(0), (tmax <= 0.0).astype(jnp.float32)))
-            occ_out[(pl.ds(0, 1), pl.ds(c0, BLOCK))] = jnp.where(
-                tmax > 0.0, occ, 0.0)
+                occ_out[(pl.ds(0, 1), pl.ds(c0, BLOCK))] = jnp.where(
+                    tmax8 > 0.0, occ_ref[:, :], 0.0).reshape(1, BLOCK)
             return 0
 
         jax.lax.fori_loop(0, n_blocks, trace_block, 0)
     return kernel
 
 
+def _block_frustum(x, n_blocks):
+    """Per-block conservative frustum rows [FR_ROWS, n_blocks] for the
+    kernel's scalar walk: origin box, inverse-direction interval (clamped to
+    +-1e18 so interval products never hit inf*0=NaN), max live tmax, live
+    flag. Dead lanes (tmax<=0) are excluded from every bound."""
+    xb = x.reshape(8, n_blocks, BLOCK)
+    o = xb[0:3]
+    d = xb[3:6]
+    tmax = xb[7]
+    live = tmax > 0.0
+    mag = jnp.maximum(jnp.abs(d), 1e-18)
+    inv = jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
+    omin = jnp.min(jnp.where(live[None], o, BIG), axis=-1)
+    omax = jnp.max(jnp.where(live[None], o, -BIG), axis=-1)
+    imin = jnp.min(jnp.where(live[None], inv, BIG), axis=-1)
+    imax = jnp.max(jnp.where(live[None], inv, -BIG), axis=-1)
+    tlim = jnp.max(jnp.where(live, tmax, 0.0), axis=-1)
+    lv = jnp.any(live, axis=-1).astype(jnp.float32)
+    pad = jnp.zeros_like(tlim)
+    return jnp.concatenate([omin, omax, imin, imax, tlim[None], lv[None],
+                            pad[None], pad[None]], axis=0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_nodes", "tiles_per_cluster", "anyhit",
-                                    "interpret"))
+                                    "stack_cap", "interpret"))
 def _trace_chunk(boxes, meta, bmat, pay, x,
                  n_nodes: int, tiles_per_cluster: int, anyhit: bool,
-                 interpret: bool = False):
+                 stack_cap: int = 128, interpret: bool = False):
     """One pallas launch over an [8, Nc] ray tile. Returns the [PAY_ROWS, Nc]
     payload (closest; row PAY_VALID = best t) or [1, Nc] occlusion (anyhit)."""
     nc = x.shape[1]
     n_blocks = nc // BLOCK
+    fr = _block_frustum(x, n_blocks)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     if anyhit:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), vm()],
             out_specs=[vm()],
             scratch_shapes=[
                 pltpu.VMEM((2, 8, BMAT_COLS), jnp.float32),
+                pltpu.VMEM((NSUB, SUB), jnp.float32),
+                pltpu.SMEM((stack_cap,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -382,24 +506,28 @@ def _trace_chunk(boxes, meta, bmat, pay, x,
         out_shape = [jax.ShapeDtypeStruct((1, nc), jnp.float32)]
         return pl.pallas_call(kernel, grid_spec=grid_spec,
                               out_shape=out_shape,
-                              interpret=interpret)(boxes, meta, bmat, x)[0]
+                              interpret=interpret)(boxes, meta, fr, bmat,
+                                                   x)[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY), vm()],
         out_specs=[vm()],
         scratch_shapes=[
             pltpu.VMEM((2, 8, BMAT_COLS), jnp.float32),
-            pltpu.VMEM((PAY_ROWS, CLUSTER_LANES), jnp.float32),
+            pltpu.VMEM((2, PAY_ROWS, CLUSTER_LANES), jnp.float32),
+            pltpu.VMEM((NSUB, SUB), jnp.float32),
+            pltpu.SMEM((stack_cap,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = _make_closest_kernel(n_nodes, tiles_per_cluster, n_blocks)
     out_shape = [jax.ShapeDtypeStruct((PAY_ROWS, nc), jnp.float32)]
     return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
-                          interpret=interpret)(boxes, meta, bmat, pay, x)[0]
+                          interpret=interpret)(boxes, meta, fr, bmat, pay,
+                                               x)[0]
 
 
 def bake_material_rows(cbvh: ClusterBVH, mpack22):
@@ -418,33 +546,54 @@ def bake_material_rows(cbvh: ClusterBVH, mpack22):
     return jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
 
 
-def ray_sort_perm(o, d, t_max, bvh: ClusterBVH):
-    """Coherence permutation for one wavefront: sort rays by (morton cell of
-    origin in the scene box, direction octant); DEAD lanes (t_max<=0) sort to
-    the END. Packet blocks then see a small cluster union again at bounce>=2
-    (unsorted bathroom blocks visited ~half the 1083 clusters each — the
-    4.9 s/pass profile), and all-dead tail blocks are skipped by the
-    kernel's any_live early-out (the compaction analog: occupancy collapses
-    to ~16% at bounce 2 under RR). Returns (perm, inv_perm) int32 [N]."""
+def _stretch3(b, nbits):
+    out = jnp.zeros_like(b)
+    for i in range(nbits):
+        out = out | (((b >> jnp.uint32(i)) & jnp.uint32(1))
+                     << jnp.uint32(3 * i))
+    return out
+
+
+def _morton3(q, nbits):
+    return (_stretch3(q[:, 0], nbits) | (_stretch3(q[:, 1], nbits) << 1)
+            | (_stretch3(q[:, 2], nbits) << 2))
+
+
+def ray_sort_perm(o, d, t_max, bvh: ClusterBVH, key: str = "dir"):
+    """Coherence permutation for one wavefront; DEAD lanes (t_max<=0) sort
+    to the END (all-dead tail blocks are skipped by the kernels' live
+    early-out — the stream-compaction analog, pathtracer.h:233).
+
+    key="dir":  coarse origin cell (2 bits/axis) then direction morton
+                (5 bits/axis) — for BOUNCE rays, whose origins are already
+                tile-coherent but whose directions are not (measured on
+                bathroom bounce1: block union 132 vs 227 unsorted,
+                tools/visit_histogram.py).
+    key="origin_octant": fine origin morton (4 bits/axis) then direction
+                octant — for rays whose origins spread (shadow batches
+                toward many lights).
+    Returns (perm, inv_perm) int32 [N]."""
     bmin = bvh.boxes[0:3, 0]                     # root node box
     bmax = bvh.boxes[3:6, 0]
     extent = jnp.maximum(bmax - bmin, 1e-6)
-    q = jnp.clip(((o - bmin) / extent) * 15.999, 0.0, 15.0).astype(jnp.uint32)
-
-    def stretch3(b):                             # 4 bits -> every 3rd bit
-        out = jnp.zeros_like(b)
-        for i in range(4):
-            out = out | (((b >> jnp.uint32(i)) & jnp.uint32(1))
-                         << jnp.uint32(3 * i))
-        return out
-    morton = (stretch3(q[:, 0]) | (stretch3(q[:, 1]) << 1)
-              | (stretch3(q[:, 2]) << 2))        # 12 bits
-    octant = ((d[:, 0] < 0).astype(jnp.uint32)
-              | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-              | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
-    key = (morton << jnp.uint32(3)) | octant
-    key = jnp.where(t_max > 0.0, key, jnp.uint32(0x7FFFFFFF))
-    perm = jnp.argsort(key).astype(jnp.int32)
+    if key == "dir":
+        q = jnp.clip(((o - bmin) / extent) * 3.999, 0.0, 3.0
+                     ).astype(jnp.uint32)
+        ocell = _morton3(q, 2)                   # 6 bits
+        dq = jnp.clip((d * 0.5 + 0.5) * 31.999, 0.0, 31.0
+                      ).astype(jnp.uint32)
+        dmort = _morton3(dq, 5)                  # 15 bits
+        k = (ocell << jnp.uint32(15)) | dmort
+    else:
+        q = jnp.clip(((o - bmin) / extent) * 15.999, 0.0, 15.0
+                     ).astype(jnp.uint32)
+        morton = _morton3(q, 4)                  # 12 bits
+        octant = ((d[:, 0] < 0).astype(jnp.uint32)
+                  | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+                  | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+        k = (morton << jnp.uint32(3)) | octant
+    k = jnp.where(t_max > 0.0, k, jnp.uint32(0x7FFFFFFF))
+    perm = jnp.argsort(k).astype(jnp.int32)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=jnp.int32))
     return perm, inv
@@ -483,6 +632,7 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    stack_cap = max(64, 2 * (bvh.max_depth + 2))
 
     x = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                    jnp.ones_like(tmax), tmax], 0)          # [8, N]
@@ -499,7 +649,7 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
         fn = functools.partial(
             _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, None,
             n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
-            anyhit=True, interpret=interpret)
+            anyhit=True, stack_cap=stack_cap, interpret=interpret)
         if n_chunks == 1:
             occ = fn(x[0])
         else:
@@ -514,7 +664,7 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
     fn = functools.partial(
         _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, pay_tiles,
         n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
-        anyhit=False, interpret=interpret)
+        anyhit=False, stack_cap=stack_cap, interpret=interpret)
     if n_chunks == 1:
         payload = fn(x[0])
     else:

@@ -197,11 +197,11 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
                       consistent_normals, n_geom, n_int, uv, m, mi,
                       color, rough, alpha3, area, ltri, lod_base,
                       tangent=None, bitangent=None):
+    """Shared tail of GetShadingData (textures, consistent normals, normal
+    map, flags) for the gather and payload fetch paths."""
     if tangent is None:
         tangent = jnp.zeros_like(n_geom)
         bitangent = jnp.zeros_like(n_geom)
-    """Shared tail of GetShadingData (textures, consistent normals, normal
-    map, flags) for the gather and payload fetch paths."""
 
     def v3(rows, a):
         return jnp.stack([a[rows], a[rows + 1], a[rows + 2]], axis=-1)
@@ -224,14 +224,16 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
         from lighthouse2_tpu.scene.host_material import MAT_HASALPHA
         alpha_cutout = ((mi[0] & MAT_HASALPHA) != 0) & (tex_d >= 0) \
             & (texel[:, 3] < 0.5)
-        tex_r = mi[3]
-        rtex = fetch_trilinear(scene.textures, tex_r, uv, lam)
-        rough = jnp.where(tex_r >= 0, rough * rtex[:, 0], rough)
         # glTF metallicRoughnessTexture: roughness in G, metallic in B
-        # (common_classes.h per-param slots; gltf 2.0 pbrMetallicRoughness)
+        # (common_classes.h per-param slots; gltf 2.0 pbrMetallicRoughness).
+        # When BOTH a plain roughness map and an MR map are set, the MR map
+        # wins (the slots are loader-exclusive; this pins the precedence)
+        tex_r = mi[3]
         tex_mr = mi[4]
+        rtex = fetch_trilinear(scene.textures, tex_r, uv, lam)
         mrtex = fetch_trilinear(scene.textures, tex_mr, uv, lam)
-        rough = jnp.where(tex_mr >= 0, rough * mrtex[:, 1], rough)
+        rough = jnp.where(tex_mr >= 0, rough * mrtex[:, 1],
+                          jnp.where(tex_r >= 0, rough * rtex[:, 0], rough))
         metallic = jnp.where(tex_mr >= 0, m[6] * mrtex[:, 2], m[6])
 
     # consistent normal correction (tools_shared.h:297-311), backside flip

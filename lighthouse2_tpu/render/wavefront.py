@@ -245,9 +245,14 @@ def prepare_cluster_pay(scene: DeviceScene, config: RenderConfig):
 
 
 def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None,
-               pay_tiles=None):
+               pay_tiles=None, sort_key="dir"):
     """Closest hit. `alive` masks dead wavefront lanes with tmax=0 so the
     trace kernels skip them entirely (static-shape stream compaction).
+
+    `sort_key`: coherence permutation before the cluster kernel — None for
+    primary rays (already 32x32-tile coherent; sorting them measured WORSE,
+    tools/visit_histogram.py), "dir" for bounce rays (origin-cell +
+    direction-morton), "origin_octant" for spread-origin batches.
 
     Returns (t, prim, u, v, payload) — payload is the trace kernel's
     [PAY_ROWS, N] per-hit shading extract on the cluster path (zero
@@ -267,12 +272,13 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None,
         perm = inv = None
         # the sort machinery costs ~12 ms/site on the axon relay — only
         # worth it when the cluster union per block is actually large
-        if config.ray_sort and scene.cbvh.n_clusters >= 16:
+        if (sort_key is not None and config.ray_sort
+                and scene.cbvh.n_clusters >= 16):
             tmax_full = jnp.broadcast_to(jnp.asarray(
                 jax.lax.stop_gradient(t_max), jnp.float32), (o.shape[0],))
             perm, inv = ray_sort_perm(jax.lax.stop_gradient(o),
                                       jax.lax.stop_gradient(d),
-                                      tmax_full, scene.cbvh)
+                                      tmax_full, scene.cbvh, key=sort_key)
         t, payload = trace_cluster_bvh(o, d, scene.cbvh, t_max,
                                        pay_tiles=pay_tiles,
                                        interpret=config.kernel_interpret,
@@ -315,19 +321,24 @@ def make_shading(scene: DeviceScene, d, t, prim, u, v, spread_angle,
 
 
 def _occluded(scene: DeviceScene, o, d, t_max, config: RenderConfig):
+    """Shadow-batch occlusion. Unsorted by default: shadow rays point at a
+    few lights from tile-coherent origins and their measured block union is
+    small (~24 on bathroom, vs ~12 ms/pass for the sort machinery);
+    config.shadow_sort opts back in for many-light scenes."""
     tris = scene.tris
     mode = _pick_intersector(scene, config)
     if mode == "cluster":
         from lighthouse2_tpu.render.kernels.trace import (
             trace_cluster_bvh, ray_sort_perm)
         perm = inv = None
-        if config.ray_sort and scene.cbvh.n_clusters >= 16:
+        if config.shadow_sort and scene.cbvh.n_clusters >= 16:
             tmax_full = jnp.broadcast_to(
                 jnp.asarray(jax.lax.stop_gradient(t_max), jnp.float32),
                 (o.shape[0],))
             perm, inv = ray_sort_perm(jax.lax.stop_gradient(o),
                                       jax.lax.stop_gradient(d),
-                                      tmax_full, scene.cbvh)
+                                      tmax_full, scene.cbvh,
+                                      key="origin_octant")
         return trace_cluster_bvh(o, d, scene.cbvh, t_max, anyhit=True,
                                  interpret=config.kernel_interpret,
                                  perm=perm, inv=inv)
@@ -378,20 +389,33 @@ def trace_paths(scene: DeviceScene, view: ViewPyramid, config: RenderConfig,
         n_alive = jnp.sum(paths["alive"].astype(jnp.int32))
         stats = dict(stats,
                      extension_rays=stats["extension_rays"].at[li].set(n_alive))
+        # li is traced inside scan, so the primary bounce is peeled below to
+        # give it its static no-sort treatment (tiled rays are already
+        # coherent); scan iterations are all secondary -> "dir" key
         paths, acc, cam_seed, n_conn = bounce_step(
             scene, view, config, paths, acc, cam_seed, li,
-            pay_tiles=pay_tiles)
+            pay_tiles=pay_tiles, sort_key="dir")
         stats = dict(stats, shadow_rays=stats["shadow_rays"].at[li].set(n_conn))
         return (paths, acc, cam_seed, stats), None
 
+    carry = (paths, acc, cam_seed, stats0)
+    paths, acc, cam_seed, stats = carry
+    n_alive0 = jnp.sum(paths["alive"].astype(jnp.int32))
+    stats = dict(stats, extension_rays=stats["extension_rays"].at[0].set(
+        n_alive0))
+    paths, acc, cam_seed, n_conn0 = bounce_step(
+        scene, view, config, paths, acc, cam_seed, jnp.int32(0),
+        pay_tiles=pay_tiles, sort_key=None if config.tiled() else "dir")
+    stats = dict(stats, shadow_rays=stats["shadow_rays"].at[0].set(n_conn0))
     (paths, acc, cam_seed, stats), _ = jax.lax.scan(
-        bounce, (paths, acc, cam_seed, stats0),
-        jnp.arange(config.max_path_length))
+        bounce, (paths, acc, cam_seed, stats),
+        jnp.arange(1, config.max_path_length))
     return _finish_pass(config, paths, acc, stats, path_idx, cam_seed)
 
 
 def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
-                pay_tiles=None, intersect_fn=None, occluded_fn=None):
+                pay_tiles=None, intersect_fn=None, occluded_fn=None,
+                sort_key="dir"):
     """One full bounce (trace + shade + occlude + apply), skipped via
     `lax.cond` when every lane is dead — the bounce-level analog of the
     reference terminating its loop when counters.extensionRays == 0
@@ -400,7 +424,7 @@ def bounce_step(scene, view, config: RenderConfig, paths, acc, cam_seed, li,
     Returns (paths, acc, cam_seed, n_shadow_connections)."""
 
     isect = intersect_fn or (lambda o, d, alive: _intersect(
-        scene, o, d, config, alive, pay_tiles=pay_tiles))
+        scene, o, d, config, alive, pay_tiles=pay_tiles, sort_key=sort_key))
     occl = occluded_fn or (lambda o, d, tmax: _occluded(scene, o, d, tmax,
                                                         config))
 
@@ -728,9 +752,10 @@ def _stage_prepare(scene, config):
     return prepare_cluster_pay(scene, config)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _stage_trace(scene, o, d, alive, config, pay_tiles=None):
-    return _intersect(scene, o, d, config, alive, pay_tiles=pay_tiles)
+@functools.partial(jax.jit, static_argnames=("config", "sort_key"))
+def _stage_trace(scene, o, d, alive, config, pay_tiles=None, sort_key="dir"):
+    return _intersect(scene, o, d, config, alive, pay_tiles=pay_tiles,
+                      sort_key=sort_key)
 
 
 @functools.partial(jax.jit, static_argnames=("config",),
@@ -783,9 +808,10 @@ def render_pass_staged(scene: DeviceScene, view: ViewPyramid,
     conn_counts = []
     pay_tiles = _stage_prepare(scene, config)
     for li in range(config.max_path_length):
-        t, prim, u, v, payload = _stage_trace(scene, paths["origin"],
-                                              paths["dir"], paths["alive"],
-                                              config, pay_tiles)
+        t, prim, u, v, payload = _stage_trace(
+            scene, paths["origin"], paths["dir"], paths["alive"], config,
+            pay_tiles,
+            sort_key=None if (li == 0 and config.tiled()) else "dir")
         paths, acc, cam_seed, shadow, n_alive, n_conn = _stage_shade(
             scene, view, paths, acc, cam_seed, jnp.int32(li), t, prim, u, v,
             config, payload=payload)
@@ -825,7 +851,8 @@ def trace_paths_unrolled(scene, view, config: RenderConfig, state: AccumState):
         ext.append(jnp.sum(paths["alive"].astype(jnp.int32)))
         paths, acc, cam_seed, n_conn = bounce_step(
             scene, view, config, paths, acc, cam_seed, jnp.int32(li),
-            pay_tiles=pay_tiles)
+            pay_tiles=pay_tiles,
+            sort_key=None if (li == 0 and config.tiled()) else "dir")
         conn.append(n_conn)
     stats = dict(extension_rays=jnp.stack(ext), shadow_rays=jnp.stack(conn))
     return _finish_pass(config, paths, acc, stats, None, cam_seed)

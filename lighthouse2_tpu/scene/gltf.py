@@ -198,7 +198,6 @@ def load_gltf(path: str, scene, transform=None) -> list:
     def tex_map(ti, srgb=True):
         if (ti, srgb) in tex_cache:
             return tex_cache[(ti, srgb)]
-        tex_cache[ti] = None  # legacy key guard (unused)
         def _store(v):
             tex_cache[(ti, srgb)] = v
             return v

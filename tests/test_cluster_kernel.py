@@ -50,9 +50,18 @@ def test_cluster_cut_covers_all_prims():
     real = np.sort(prims[prims >= 0]).astype(np.int64)
     np.testing.assert_array_equal(real, np.arange(777))
     # skip links: every node's skip target is > its own index, <= n_nodes
-    meta = np.asarray(cb.meta)            # [2, M] component-major
+    meta = np.asarray(cb.meta)            # [4, M] component-major
     assert (meta[0] > np.arange(cb.n_nodes)).all()
     assert (meta[0] <= cb.n_nodes).all()
+    # interior nodes: right child inside (id+1, skip); left child is id+1;
+    # the right child's subtree ends exactly at the parent's skip
+    interior = meta[1] < 0
+    ids = np.arange(cb.n_nodes)
+    assert (meta[2][interior] > ids[interior] + 1).all()
+    assert (meta[2][interior] < meta[0][interior]).all()
+    assert (meta[0][meta[2][interior]] == meta[0][interior]).all()
+    assert (~interior | ((meta[3] >= 0) & (meta[3] < 3))).all()
+    assert cb.max_depth >= 2
 
 
 def test_cluster_trace_matches_lockstep():
