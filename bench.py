@@ -48,41 +48,73 @@ def _make_scene(name, size):
 
 
 def run_workload(scene_name: str, backward: bool, size: int, paths: int,
-                 n_passes: int) -> float:
+                 n_passes: int, grads: str = "all",
+                 ray_sort: bool = True) -> float:
     """Mrays/s for one workload (rays = extension + shadow, CoreStats
-    convention, apps/imguiapp/main.cpp:222-233)."""
+    convention, apps/imguiapp/main.cpp:222-233).
+
+    backward=True differentiates the UNROLLED executor (the same one the
+    forward headline uses — round-3 differentiated the slower scan
+    executor). grads="materials" takes d(loss)/d(material colors) only;
+    grads="all" also includes vertex positions (reparameterized hits +
+    per-pass tile rebake) and area-light radiance — the full BASELINE
+    gradient contract."""
     import jax
     import jax.numpy as jnp
     import functools
     from lighthouse2_tpu.core.types import RenderConfig
     from lighthouse2_tpu.render.wavefront import (
-        AccumState, render_pass_auto, render_pass)
+        AccumState, render_pass_auto, trace_paths_unrolled)
 
     cfg = RenderConfig(width=size, height=size, spp_per_pass=1,
-                       max_path_length=paths, use_bvh=True)
+                       max_path_length=paths, use_bvh=True,
+                       ray_sort=ray_sort)
     scene, cam = _make_scene(scene_name, size)
     ds = scene.sync(rebuild_bvh=True)
     view = cam.get_view()
 
     if backward:
-        # forward+backward: grad of an image loss wrt material colors —
-        # the headline includes the backward wavefront (BASELINE.md)
-        @functools.partial(jax.jit, static_argnames=("config",))
-        def fb_pass(scene_, view_, state, config, target):
-            def loss_fn(color):
-                s = scene_.replace(
-                    materials=scene_.materials.replace(color=color))
-                st, stats = render_pass(s, view_, state, config)
-                img = st.accumulator[:, :3]
-                return jnp.mean((img - target) ** 2), (st, stats)
-            (_, (st, stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(scene_.materials.color)
-            return st, stats, grads
+        from lighthouse2_tpu.diff.params import (
+            set_material_fields, set_light_radiance, displace_vertices)
 
+        @functools.partial(jax.jit, static_argnames=("config",))
+        def fb_pass(scene_, view_, state, config, target, params):
+            def loss_fn(p):
+                s = set_material_fields(scene_, color=p["color"])
+                if "light" in p:
+                    s = set_light_radiance(s, p["light"])
+                if "offset" in p:
+                    s = displace_vertices(s, p["offset"])
+                acc_delta, cam_seed, stats = trace_paths_unrolled(
+                    s, view_, config, state)
+                img = acc_delta[:, :3]
+                st = AccumState(
+                    accumulator=state.accumulator + acc_delta,
+                    sample_count=state.sample_count + config.spp_per_pass,
+                    cam_seed=cam_seed)
+                return jnp.mean((img - target) ** 2), st
+            (_, st), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return st, g
+
+        params = {"color": ds.materials.color}
+        if grads == "all":
+            params["light"] = ds.lights.tri_radiance
+            params["offset"] = jnp.zeros((ds.tris.count, 3, 3), jnp.float32)
         target = jnp.zeros((size * size, 3), jnp.float32)
-        step = lambda st: fb_pass(ds, view, st, cfg, target)[:2]
+
+        def step(st):
+            st2, _g = fb_pass(ds, view, st, cfg, target, params)
+            return st2, {"total_extension": jnp.int32(0)}
+
+        # ray counts for the rate come from one forward stats pass (the
+        # backward step function does not thread stats; per-pass counts
+        # vary <1% with the sample index)
+        _, stats0 = render_pass_auto(ds, view, AccumState.make(cfg), cfg)
+        fixed_rays = int(stats0["total_extension"]) + int(
+            stats0["total_shadow"])
     else:
         step = lambda st: render_pass_auto(ds, view, st, cfg)
+        fixed_rays = None
 
     state = AccumState.make(cfg)
     # warmup / compile (NO readbacks before or during the timed loop)
@@ -97,8 +129,11 @@ def run_workload(scene_name: str, backward: bool, size: int, paths: int,
     jax.block_until_ready(state.accumulator)
     dt = time.perf_counter() - t0
 
-    total_rays = sum(int(s["total_extension"]) + int(s["total_shadow"])
-                     for s in all_stats)
+    if fixed_rays is not None:
+        total_rays = fixed_rays * n_passes
+    else:
+        total_rays = sum(int(s["total_extension"]) + int(s["total_shadow"])
+                         for s in all_stats)
     return total_rays / dt / 1e6
 
 
@@ -112,21 +147,42 @@ def scaling_main():
     from lighthouse2_tpu.core.types import RenderConfig
     from lighthouse2_tpu.parallel.distributed import measure_scaling
 
+    from lighthouse2_tpu.parallel.distributed import collective_bytes_per_pass
+    from lighthouse2_tpu.parallel.mesh import make_mesh, replicate_scene
+
     size = int(os.environ.get("BENCH_SIZE", "256"))
     cfg = RenderConfig(width=size, height=size, spp_per_pass=1,
                        max_path_length=8, use_bvh=True)
     scene, cam = cornell_box(size, size)
     ds = scene.sync(rebuild_bvh=True)
-    rows = measure_scaling(ds, cam.get_view(), cfg)
+    view = cam.get_view()
+    rows = measure_scaling(ds, view, cfg)
+    # weak scaling: fixed rays/device — the shape that means something on a
+    # virtual CPU mesh (VERDICT r3 weak #2) and on real pods alike
+    weak_rows = measure_scaling(ds, view, cfg, weak=True)
+    # measured collective traffic of the compiled 8-device pass + analytic
+    # ICI bound at v5e link bandwidth
+    import jax
+    nd = min(8, len(jax.devices()))
+    try:
+        comm = collective_bytes_per_pass(
+            replicate_scene(ds, make_mesh(nd)), view, cfg, make_mesh(nd))
+        comm = {k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in comm.items()}
+    except Exception as e:
+        comm = {"error": str(e)[-200:]}
     eff = rows[-1]["efficiency"] if rows else 0.0
+    rnd = lambda rs: [{k: round(v, 4) if isinstance(v, float) else v
+                       for k, v in r.items()} for r in rs]
     print(json.dumps({
         "metric": f"rays/s scaling efficiency at {rows[-1]['devices']} devices"
                   if rows else "scaling (no runs)",
         "value": round(eff, 4),
         "unit": "fraction",
         "vs_baseline": round(eff / 0.80, 4),
-        "table": [{k: round(v, 4) if isinstance(v, float) else v
-                   for k, v in r.items()} for r in rows],
+        "table": rnd(rows),
+        "weak_scaling_table": rnd(weak_rows),
+        "collective_bytes_per_pass_8dev": comm,
     }))
 
 
@@ -163,14 +219,17 @@ def _capture_scaling_artifact():
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    paths = int(os.environ.get("BENCH_PATHLEN", "8"))
+    # reference parity: MAXPATHLENGTH 16 (rendercore_optix7/core_settings.h:25)
+    paths = int(os.environ.get("BENCH_PATHLEN", "16"))
 
     if os.environ.get("BENCH_SCENE") or os.environ.get("BENCH_BACKWARD"):
         # single-workload mode (tooling / ablation use)
         scene_name = os.environ.get("BENCH_SCENE", "cornell")
         backward = bool(os.environ.get("BENCH_BACKWARD"))
         n_passes = int(os.environ.get("BENCH_PASSES", "10"))
-        mrays = run_workload(scene_name, backward, size, paths, n_passes)
+        mrays = run_workload(scene_name, backward, size, paths, n_passes,
+                             grads=os.environ.get("BENCH_GRADS", "all"),
+                             ray_sort=not os.environ.get("BENCH_NO_SORT"))
         mode = "forward+backward" if backward else "forward"
         print(json.dumps({
             "metric": f"Mrays/s/chip {mode} ({scene_name} {size}x{size}, "
@@ -198,14 +257,20 @@ def main():
 
     extra["bathroom_fwd_mrays"] = round(
         run_workload("bathroom", False, size, paths, 3), 3)
-    headline = run_workload("bathroom", True, size, paths, 2)
+    # materials-only backward (the round-3 headline workload, for trend)
+    extra["bathroom_fwdbwd_materials_mrays"] = round(
+        run_workload("bathroom", True, size, paths, 2, grads="materials"), 3)
+    # HEADLINE: full gradient contract — materials + vertices + light
+    # radiance (BASELINE.md "pixel grads -> vertices, materials, light
+    # intensities"), through the unrolled executor
+    headline = run_workload("bathroom", True, size, paths, 2, grads="all")
     scaling = _capture_scaling_artifact()
     if isinstance(scaling, dict) and "value" in scaling:
         extra["scaling_efficiency_8dev"] = scaling["value"]
 
     print(json.dumps({
         "metric": f"Mrays/s/chip forward+backward (bathroom {size}x{size}, "
-                  f"path {paths})",
+                  f"path {paths}, grads=materials+vertices+lights)",
         "value": round(headline, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(headline / BASELINE_MRAYS, 4),

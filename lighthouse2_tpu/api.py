@@ -70,6 +70,10 @@ class RenderAPI:
             img, method=self.camera.tonemapper, gamma=self.camera.gamma,
             contrast=self.camera.contrast, brightness=self.camera.brightness))
 
+    def device_scene(self):
+        """The synced DeviceScene (for debug instrumentation)."""
+        return self.scene.sync(rebuild_bvh=self.config.use_bvh)
+
     # -- probing (core_api_base.h:57-60 / rendersystem.cpp:249-256) ----------
 
     def probe(self, x: int, y: int) -> dict:

@@ -135,6 +135,28 @@ class ViewerSession:
                 self.api.deserialize_camera(args[1])
         elif cmd == "materials":
             self.api.serialize_materials(args[1])
+        elif cmd == "debug":
+            # debug visualizations (F4-style, finalize_shared.h:491-541 +
+            # ColorDebugBVH raytracer.cpp:102-120 + BVH::Print bvh.cpp:304)
+            from lighthouse2_tpu.render import probe as probe_mod
+            from lighthouse2_tpu.utils.image import write_png
+            ds = self.api.device_scene()
+            view = self.api.camera.get_view()
+            cfg = self.api.core.config
+            kind = args[0]
+            if kind == "bvh":
+                img = probe_mod.bvh_heatmap(ds, view, cfg)
+            elif kind == "gbuffer":
+                img = probe_mod.gbuffer_views(ds, view, cfg)
+            elif kind == "tree":
+                self._say(probe_mod.bvh_print(ds))
+                return
+            else:
+                raise ValueError(f"unknown debug view: {kind!r}")
+            path = (args[1] if len(args) > 1 else os.path.join(
+                self.out_dir, f"debug_{kind}_{self.frame:04d}.png"))
+            write_png(path, img)
+            self._say(f"debug {kind}: {path}")
         else:
             raise ValueError(f"unknown viewer command: {line!r}")
 

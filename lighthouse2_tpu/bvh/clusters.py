@@ -71,8 +71,8 @@ PAY_GEO_ROWS = 40   # 38:40 pad (sublane multiple)
 
 # material payload rows (device-baked each pass; layout must mirror
 # render/shading.py material_pack exactly)
-PAY_MAT_ROWS = 24   # 23 used + pad to a sublane multiple
-PAY_ROWS = PAY_GEO_ROWS + PAY_MAT_ROWS   # 64 — full payload height
+PAY_MAT_ROWS = 32   # 28 used (incl. per-param texture slots) + sublane pad
+PAY_ROWS = PAY_GEO_ROWS + PAY_MAT_ROWS   # 72 — full payload height
 
 
 @struct.dataclass

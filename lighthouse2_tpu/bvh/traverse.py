@@ -108,10 +108,12 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, anyhit: bool):
     ix, iy, iz = 1.0 / ds[:, 0], 1.0 / ds[:, 1], 1.0 / ds[:, 2]
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
-    # all carries derive from the (possibly shard-varying) ray arrays so the
-    # while-loop carry keeps consistent varying-manual-axes under shard_map
-    # (check_vma=True; VERDICT r1 weak #5)
-    zf = ox * 0.0
+    # all carries derive from the (possibly shard-varying) ray arrays AND
+    # the BVH arrays so the while-loop carry keeps consistent
+    # varying-manual-axes under shard_map (check_vma=True): in the
+    # scene-sharded mode rays vary over "rays" while the BVH varies over
+    # "scene", and the loop body mixes both into every carry
+    zf = ox * 0.0 + bvh.nbox[0, 0] * 0.0
     zi = zf.astype(jnp.int32)
     state = dict(
         node=zi,
@@ -126,6 +128,7 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, anyhit: bool):
         best_v=zf,
         occ=zi != 0,
         done=zi != 0,
+        visits=zi,   # per-ray node visits (ColorDebugBVH, raytracer.cpp:102)
     )
 
     def cond(s):
@@ -206,7 +209,8 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, anyhit: bool):
 
         return dict(node=node, cur_t=cur_t, sptr=sptr, stack=stack,
                     tstack=tstack, best_t=best_t, best_p=best_p,
-                    best_u=best_u, best_v=best_v, occ=occ, done=done)
+                    best_u=best_u, best_v=best_v, occ=occ, done=done,
+                    visits=s["visits"] + alive.astype(jnp.int32))
 
     def body(s):
         for _ in range(STEPS_PER_CHECK):
@@ -216,7 +220,8 @@ def _traverse_chunk(o, d, t_max, bvh: DeviceBVH, anyhit: bool):
     out = jax.lax.while_loop(cond, body, state)
     if anyhit:
         return out["occ"]
-    return out["best_t"], out["best_p"], out["best_u"], out["best_v"]
+    return (out["best_t"], out["best_p"], out["best_u"], out["best_v"],
+            out["visits"])
 
 
 def _chunked(o, d, t_max, fn, chunk):
@@ -245,6 +250,13 @@ def bvh_intersect(o, d, bvh: DeviceBVH, v0=None, e1=None, e2=None,
     v0/e1/e2 args are accepted for API compatibility; triangle data comes
     from bvh.tri9.
     """
+    return bvh_intersect_counts(o, d, bvh, t_max=t_max, chunk=chunk)[:4]
+
+
+def bvh_intersect_counts(o, d, bvh: DeviceBVH, t_max=BIG_T,
+                         chunk: int = DEFAULT_CHUNK):
+    """bvh_intersect + per-ray traversal-step counts (the ColorDebugBVH
+    instrument, RenderCore_Bart/raytracer.cpp:102-120)."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     bvh = jax.lax.stop_gradient(bvh)
@@ -286,11 +298,16 @@ def refine_hit(o, d, prim, tri9):
 def refine_hit_rows(o, d, prim, g9):
     """refine_hit from pre-fetched per-ray triangle rows g9 [9,N] (v0/e1/e2
     component-major) — the gather-free path fed by the trace kernel's
-    payload (render/fetch.reattach_rows keeps it differentiable)."""
+    payload (render/fetch.reattach_rows keeps it differentiable).
+
+    Uses a RAISED determinant cutoff (1e-6): near-parallel re-intersections
+    produce 1/det^2-scale vertex cotangents that overflow f32 (measured NaN
+    vertex grads on grazing bounce hits); callers fall back to the
+    traversal (t,u,v) when the returned ok mask is False."""
     t, u, v, h = mt_comp(
         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
         g9[0], g9[1], g9[2], g9[3], g9[4], g9[5], g9[6], g9[7], g9[8],
-        jnp.float32(-BIG_T), BIG_T)
+        jnp.float32(-BIG_T), BIG_T, det_eps=1e-6)
     valid = prim >= 0
     return (jnp.where(valid, t, BIG_T), jnp.where(valid, u, 0.0),
             jnp.where(valid, v, 0.0), valid & h)

@@ -172,17 +172,21 @@ def intersect_tri(o, d, v0, e1, e2, t_min=EPSILON, t_max=BIG_T):
 
 def mt_comp(ox, oy, oz, dx, dy, dz,
             v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-            t_min, t_max):
+            t_min, t_max, det_eps=1e-9):
     """Component-major Möller–Trumbore (common.h:19-51). Broadcasts.
 
     TPU-critical: [N,3] jnp.cross formulations inside loops are ~2000x
     slower on v5e (layout churn); all hot intersection paths use this form.
+
+    `det_eps`: near-parallel cutoff. The differentiable refine path raises
+    it (1/det and 1/det^2 appear in the backward; 1e-9 admits 1e18-scale
+    cotangents that overflow to inf -> NaN through downstream sums).
     """
     hx = dy * e2z - dz * e2y
     hy = dz * e2x - dx * e2z
     hz = dx * e2y - dy * e2x
     a = e1x * hx + e1y * hy + e1z * hz
-    valid = jnp.abs(a) > 1e-9
+    valid = jnp.abs(a) > det_eps
     f = 1.0 / jnp.where(valid, a, 1.0)
     sx = ox - v0x
     sy = oy - v0y

@@ -48,21 +48,73 @@ def make_loss(target, view, config: RenderConfig, insert, scene: DeviceScene,
     return loss
 
 
+def save_checkpoint(path: str, params, opt_state, step: int,
+                    history=None) -> None:
+    """Persist an optimization run: (params, optimizer state, step,
+    loss history). The reference persists cameras/materials between runs
+    (camera.cpp:154-212, host_scene.cpp:60-163); this extends the same idea
+    to the differentiable workflow so long inverse-rendering runs survive
+    restarts (SURVEY §5.4 TPU equivalent — orbax-style, stdlib pickle so
+    no extra deps are required)."""
+    import pickle
+    import numpy as np
+
+    to_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+    blob = dict(params=to_np(params), opt_state=to_np(opt_state),
+                step=int(step), history=list(history or []))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump(blob, fh)
+    import os
+    os.replace(tmp, path)        # atomic: a crash never corrupts the file
+
+
+def load_checkpoint(path: str):
+    """Returns dict(params, opt_state, step, history) with jnp leaves, or
+    None if the file does not exist."""
+    import os
+    import pickle
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        blob = pickle.load(fh)
+    as_jnp = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    return dict(params=as_jnp(blob["params"]),
+                opt_state=as_jnp(blob["opt_state"]),
+                step=int(blob["step"]), history=list(blob["history"]))
+
+
 def optimize(loss_fn, params, steps: int = 32, lr: float = 5e-2,
-             optimizer=None, sample_stride: int = 0, verbose: bool = False):
+             optimizer=None, sample_stride: int = 0, verbose: bool = False,
+             checkpoint_path: str | None = None, checkpoint_every: int = 8):
     """Adam loop for inverse rendering. If `loss_fn` accepts (params, step)
-    pass sample_stride>0 to decorrelate MC noise across steps."""
+    pass sample_stride>0 to decorrelate MC noise across steps.
+
+    checkpoint_path: resume from it if present, and save (params, opt
+    state, step, history) every `checkpoint_every` steps + at the end."""
     import optax
     opt = optimizer or optax.adam(lr)
     state = opt.init(params)
+    start = 0
+    history = []
+    if checkpoint_path:
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None:
+            # restore leaf values into the freshly-built opt-state treedef
+            # (pickle stores plain arrays; optax states are namedtuples)
+            leaves = jax.tree_util.tree_leaves(ck["opt_state"])
+            state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state), leaves)
+            params = ck["params"]
+            start = ck["step"]
+            history = ck["history"]
 
     if sample_stride:
         vg = jax.jit(jax.value_and_grad(lambda p, s: loss_fn(p, s)))
     else:
         vg = jax.jit(jax.value_and_grad(loss_fn))
 
-    history = []
-    for i in range(steps):
+    for i in range(start, steps):
         if sample_stride:
             val, g = vg(params, i * sample_stride)
         else:
@@ -72,4 +124,7 @@ def optimize(loss_fn, params, steps: int = 32, lr: float = 5e-2,
         history.append(float(val))
         if verbose:
             print(f"step {i}: loss {float(val):.6e}")
+        if checkpoint_path and ((i + 1) % checkpoint_every == 0
+                                or i + 1 == steps):
+            save_checkpoint(checkpoint_path, params, state, i + 1, history)
     return params, history

@@ -51,13 +51,19 @@ def global_mesh(axis: str = "rays"):
 
 def measure_scaling(scene, view, config: RenderConfig,
                     device_counts=None, passes: int = 3,
-                    warmup: int = 1) -> list[dict]:
+                    warmup: int = 1, weak: bool = False) -> list[dict]:
     """Rays/s at each device count; efficiency vs the 1-device baseline.
 
     Per BASELINE.md the metric is total rays traced per second; rays are
     counted exactly like the single-chip bench (extension + shadow rays from
     the wavefront stats — CoreStats analog).
+
+    weak=True holds WORK PER DEVICE fixed (spp_per_pass scales with the
+    device count) and reports per-device-rate flatness — the meaningful
+    shape on virtual CPU devices that share one host's cores, and the
+    standard complement to the strong-scaling table on real pods.
     """
+    import dataclasses
     n_dev = len(jax.devices())
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
@@ -67,19 +73,21 @@ def measure_scaling(scene, view, config: RenderConfig,
     # so it always runs first — made explicit per VERDICT r2 weak #6)
     device_counts = sorted(set([1] + list(device_counts)))
     for nd in device_counts:
-        if config.n_paths % nd != 0 or nd > n_dev:
+        cfg = (dataclasses.replace(config, spp_per_pass=config.spp_per_pass
+                                   * nd) if weak else config)
+        if cfg.n_paths % nd != 0 or nd > n_dev:
             continue
         mesh = make_mesh(nd)
         dsr = replicate_scene(scene, mesh)
-        state = AccumState.make(config)
+        state = AccumState.make(cfg)
         # warmup/compile — no readbacks inside the timed loop (axon relay)
         for _ in range(warmup):
-            state, stats = render_pass_sharded(dsr, view, state, config, mesh)
+            state, stats = render_pass_sharded(dsr, view, state, cfg, mesh)
         jax.block_until_ready(state.accumulator)
         all_stats = []
         t0 = time.perf_counter()
         for _ in range(passes):
-            state, stats = render_pass_sharded(dsr, view, state, config, mesh)
+            state, stats = render_pass_sharded(dsr, view, state, cfg, mesh)
             all_stats.append(stats)
         jax.block_until_ready(state.accumulator)
         dt = time.perf_counter() - t0
@@ -95,3 +103,40 @@ def measure_scaling(scene, view, config: RenderConfig,
             efficiency=rate / (base_rate * nd),
         ))
     return rows
+
+
+# public v5e spec (scaling-book numbers): ~4.5e10 B/s one-way per ICI link
+V5E_ICI_BYTES_PER_S = 4.5e10
+
+
+def collective_bytes_per_pass(scene, view, config: RenderConfig, mesh) -> dict:
+    """Per-device collective traffic of one sharded render pass, from the
+    COMPILED program (not an estimate): parse the HLO for
+    all-reduce/all-gather/reduce-scatter/collective-permute result shapes.
+    Returns bytes by collective kind + an analytic ICI-time lower bound at
+    v5e link bandwidth — the artifact that lets multi-chip comm cost be
+    bounded next to the virtual-mesh correctness run (BENCH_SCALING)."""
+    import re
+    jf = jax.jit(lambda s, v, st: render_pass_sharded(s, v, st, config,
+                                                      mesh))
+    lowered = jf.lower(scene, view, AccumState.make(config))
+    txt = lowered.compile().as_text()
+    sizes = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+             "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1, "s16": 2,
+             "u16": 2}
+    out = {}
+    pat = re.compile(
+        r"=\s+(\w+)\[([\d,]*)\][^=]*?\s"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+        r"(?:-start)?\(")
+    for m in pat.finditer(txt):
+        dt_, dims, kind = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[kind] = out.get(kind, 0) + n * sizes.get(dt_, 4)
+    total = sum(out.values())
+    out["total_bytes"] = total
+    out["ici_lower_bound_ms_v5e"] = total / V5E_ICI_BYTES_PER_S * 1e3
+    return out

@@ -367,12 +367,18 @@ def sample(sd, i_n, n_geom, wo, distance, r3, r4):
     pdf_t = jnp.where(t_reflects & ~refl_ok, 0.0, 1.0)
 
     # ---- lobe CDF (disney.h:239-247) --------------------------------------
-    transmit = r4 < sd.transmission
-    r3n = (r4 - sd.transmission) / jnp.maximum(1.0 - sd.transmission, 1e-9)
+    # the lobe pick + renormalized randoms are SAMPLING-DISTRIBUTION
+    # quantities: detached like every other sampling warp (the postponed-pdf
+    # convention). Differentiating the renormalization w.r.t. the lobe
+    # weights produced NaN parameter gradients (e.g. d/d(sheen) through
+    # (r - c0)/(c1 - c0) at near-empty lobes) for a quantity whose true
+    # derivative contribution is the discrete-choice term we deliberately
+    # drop (SURVEY §7.3.3)
+    transmit = r4 < jax.lax.stop_gradient(sd.transmission)
+    r3n = jax.lax.stop_gradient(
+        (r4 - sd.transmission) / jnp.maximum(1.0 - sd.transmission, 1e-9))
     w_d, w_sh, w_sp, w_c = _lobe_weights(sd)
-    c0 = w_d
-    c1 = w_d + w_sh
-    c2 = w_d + w_sh + w_sp
+    c0, c1, c2 = jax.lax.stop_gradient((w_d, w_d + w_sh, w_d + w_sh + w_sp))
     pick_d = r3n < c0
     pick_sh = (r3n >= c0) & (r3n < c1)
     pick_sp = (r3n >= c1) & (r3n < c2)

@@ -181,6 +181,66 @@ class PrimeRefCore(WavefrontCore):
         super().__init__(config)
 
 
+@register_core("minimal")
+class MinimalCore(RenderCore):
+    """Teaching-stub core — the smallest valid backend
+    (RenderCore_Minimal/rendercore.cpp:46-78: stores geometry, plots every
+    vertex as a white dot). Pins the contract floor: consume DeviceScene +
+    ViewPyramid, return an image + stats."""
+
+    def __init__(self, config: RenderConfig):
+        super().__init__(config)
+        self.image = None
+
+    @staticmethod
+    def _pass(device_scene, view, config):
+        import functools
+        import jax.numpy as jnp
+        from lighthouse2_tpu.core.geometry import dot
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def run(scene, v, cfg):
+            t = scene.tris
+            verts = jnp.concatenate(
+                [t.v0, t.v0 + t.e1, t.v0 + t.e2], 0)       # [3T, 3]
+            right = v.p2 - v.p1
+            up = v.p3 - v.p1
+            n = jnp.cross(right, up)
+            d = verts - v.pos[None]
+            denom = dot(d, n[None])
+            k = dot(v.p1[None] - v.pos[None], n[None]) / jnp.where(
+                jnp.abs(denom) > 1e-12, denom, 1e-12)
+            q = v.pos[None] + k[:, None] * d - v.p1[None]
+            s = dot(q, right[None]) / jnp.maximum(dot(right, right), 1e-12)
+            tt = dot(q, up[None]) / jnp.maximum(dot(up, up), 1e-12)
+            ok = (k > 0) & (s >= 0) & (s < 1) & (tt >= 0) & (tt < 1)
+            px = jnp.clip((s * cfg.width).astype(jnp.int32), 0,
+                          cfg.width - 1)
+            py = jnp.clip((tt * cfg.height).astype(jnp.int32), 0,
+                          cfg.height - 1)
+            idx = jnp.where(ok, py * cfg.width + px, 0)
+            img = jnp.zeros((cfg.width * cfg.height,), jnp.float32)
+            img = img.at[idx].max(jnp.where(ok, 1.0, 0.0))
+            return jnp.repeat(img[:, None], 3, 1)
+
+        return run(device_scene, view, config)
+
+    def render(self, device_scene, view, converge: bool = True) -> dict:
+        t0 = time.perf_counter()
+        img = self._pass(device_scene, view, self.config)
+        jax.block_until_ready(img)
+        wall = time.perf_counter() - t0
+        h, w = self.config.height, self.config.width
+        self.image = np.asarray(img).reshape(h, w, 3)
+        self.stats = {"render_time": wall, "primary_rays": 0,
+                      "extension_rays": 0, "shadow_rays": 0, "total_rays": 0,
+                      "mrays_per_s": 0.0, "spp": 1}
+        return self.stats
+
+    def get_image(self) -> np.ndarray:
+        return self.image
+
+
 @register_core("preview")
 class PreviewCore(RenderCore):
     """Primary-ray preview core — the RenderCore_SoftRasterizer-class parity

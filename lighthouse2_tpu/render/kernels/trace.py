@@ -167,10 +167,14 @@ def _lane_slab(boxes_ref, nd, o8, i8, best8):
     return (tf >= tn) & (tn < best8)
 
 
-def _sub_forms(bscratch_buf, x_ref, c0, s):
+def _sub_forms(bscratch_buf, xs):
     """MXU intersection of one 128-triangle tile against sub-packet s:
-    six linear forms for every (triangle, ray) pair, [6][SUB, SUB]."""
-    xs = x_ref[(slice(None), pl.ds(c0 + s * SUB, SUB))]      # [8, 128]
+    six linear forms for every (triangle, ray) pair, [6][SUB, SUB].
+
+    `xs` must be a VALUE slice of the block tile (X[:, s*128:(s+1)*128]) —
+    feeding a dynamically-sliced x_ref here on top of the dynamic scratch
+    buffer index forced a per-call operand copy (~560 cycles measured, vs
+    ~50 with one dynamic operand)."""
     out = jax.lax.dot_general(bscratch_buf[:], xs, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
                               precision=_PREC)               # [768, 128]
@@ -192,40 +196,41 @@ def _sub_hits(forms, limit_row):
     return tm, tb
 
 
-import os
-# kernel-internals ablation for tools/measure_r4.py attribution (dev only):
-#  subs=skip sub-packet intersection entirely; nosubmask=intersect all 8
-#  sub-packets unconditionally; nopay=skip payload extraction; noslab=skip
-#  the per-lane leaf mask (use all-true)
-_ABLATE = set(os.environ.get("TRACE_ABLATE", "").split(","))
+RING = 4               # bmat-tile DMA pipeline depth (closest kernel)
+BM_PERIOD = 4          # leaves between scalar best_max refreshes
 
 
-def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
+def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
+                         ablate: str = ""):
+    """Closest-hit kernel, two phases per block:
+
+    1. TRAVERSAL — the anyhit-shaped hot loop: scalar stack walk feeding a
+       RING-deep bmat DMA pipeline; per leaf one [NSUB,SUB] lane mask, then
+       masked per-sub-packet MXU intersection that records only (best t,
+       winner code = tile*128 + lane) per ray. No payload DMA, no payload
+       matmul in the loop (moving extraction out took the measured per-visit
+       cost from ~9us to the anyhit kernel's sub-us).
+    2. EXTRACTION — loop over the DISTINCT winning tiles (found by repeated
+       max over the code map): stream each tile's 64-row payload once
+       (double-buffered) and scatter it to that tile's winner lanes with a
+       one-hot matmul per participating sub-packet.
+    """
     tpc = tiles_per_cluster
 
     def kernel(boxes_ref, meta_ref, fr_ref,   # scalar-prefetch (SMEM)
                bmat_ref, pay_ref,             # ANY (HBM) tile stores
                x_ref,                         # [8, Nc] rays
                pay_out,                       # [PAY_ROWS, Nc]
-               bscratch, pscratch, best_ref, stack, bsem, psem):
+               bscratch, pscratch, best_ref, code_ref, ring, stack,
+               cnt_ref, mf_ref, bsem, psem):
 
-        def start_dma(nd, t_off, buf):
-            cid = jnp.maximum(meta_ref[1, nd], 0)
-            t_idx = cid * tpc + t_off
-            pltpu.make_async_copy(bmat_ref.at[t_idx], bscratch.at[buf],
-                                  bsem.at[buf]).start()
-            if "nopaydma" not in _ABLATE:
-                pltpu.make_async_copy(pay_ref.at[t_idx], pscratch.at[buf],
-                                      psem.at[buf]).start()
+        def bdma(t_idx, buf):
+            return pltpu.make_async_copy(bmat_ref.at[t_idx],
+                                         bscratch.at[buf], bsem.at[buf])
 
-        def wait_dma(nd, t_off, buf):
-            cid = jnp.maximum(meta_ref[1, nd], 0)
-            t_idx = cid * tpc + t_off
-            pltpu.make_async_copy(bmat_ref.at[t_idx], bscratch.at[buf],
-                                  bsem.at[buf]).wait()
-            if "nopaydma" not in _ABLATE:
-                pltpu.make_async_copy(pay_ref.at[t_idx], pscratch.at[buf],
-                                      psem.at[buf]).wait()
+        def pdma(t_idx, buf):
+            return pltpu.make_async_copy(pay_ref.at[t_idx],
+                                         pscratch.at[buf], psem.at[buf])
 
         def trace_block(b, _):
             c0 = pl.multiple_of(b * BLOCK, BLOCK)
@@ -244,102 +249,211 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                 i8 = tuple(inv(X[c:c + 1].reshape(NSUB, SUB))
                            for c in range(3, 6))
                 best_ref[:, :] = X[7:8].reshape(NSUB, SUB)   # per-lane tmax
+                code_ref[:, :] = jnp.full((NSUB, SUB), -1.0, jnp.float32)
+                cnt_ref[0] = 0                               # sub-intersects
 
                 next_leaf = _make_next_leaf(boxes_ref, meta_ref, fr_ref, b,
                                             stack, n_nodes)
 
-                def process_tile(nd, t_off, buf, subs):
-                    if "noslab" in _ABLATE:
-                        lhit = jnp.ones((NSUB, SUB), jnp.bool_)
-                    else:
-                        lhit = _lane_slab(boxes_ref, nd, o8, i8,
-                                          best_ref[:, :])
-                    if "subs" in _ABLATE:
-                        return subs + 1
+                xsub = [X[:, s * SUB:(s + 1) * SUB] for s in range(NSUB)]
+                pow2 = jnp.left_shift(
+                    jnp.int32(1),
+                    jax.lax.broadcasted_iota(jnp.int32, (NSUB, 1), 0))
+
+                def sub_mask_bits(nd):
+                    """Per-lane leaf test packed into ONE scalar bitmask
+                    (bit s = sub-packet s has a candidate lane). A single
+                    vector->scalar transfer replaces the eight any() syncs
+                    that serialized the round-4a loop (measured ~3us/sub in
+                    context vs ~0.1us in isolation — the kernel was
+                    latency-bound on these syncs, not on work)."""
+                    lhit = _lane_slab(boxes_ref, nd, o8, i8, best_ref[:, :])
+                    row = jnp.any(lhit, axis=1, keepdims=True)   # [NSUB,1]
+                    return jnp.sum(jnp.where(row, pow2, 0))
+
+                def sub_body(s, t_idx, buf):
+                    """One sub-packet intersection + UNCONDITIONAL winner
+                    recording — pure vector stream, zero vector->scalar
+                    syncs, so the scalar core runs ahead and the VPU
+                    pipelines across sub-packets and leaves."""
+                    forms = _sub_forms(bscratch.at[buf], xsub[s])
+                    bs = best_ref[s:s + 1, :]
+                    tm, tb = _sub_hits(forms, bs)
+                    upd = tb < bs
+                    ri = jax.lax.broadcasted_iota(
+                        jnp.int32, (CLUSTER_LANES, SUB), 0)
+                    win = jnp.min(jnp.where(tm <= tb, ri, CLUSTER_LANES),
+                                  axis=0, keepdims=True)
+                    code = (t_idx * SUB + win).astype(jnp.float32)
+                    code_ref[s:s + 1, :] = jnp.where(
+                        upd, code, code_ref[s:s + 1, :])
+                    best_ref[s:s + 1, :] = jnp.where(upd, tb, bs)
+                    cnt_ref[0] = cnt_ref[0] + 1
+
+                def intersect_tile(t_idx, buf, bits):
                     for s in range(NSUB):
-                        srow = lhit[s:s + 1, :]
+                        @pl.when(((bits >> s) & 1) != 0)
+                        def _(s=s):
+                            sub_body(s, t_idx, buf)
 
-                        def sub_body(s=s, srow=srow):
-                            forms = _sub_forms(bscratch.at[buf], x_ref,
-                                               c0, s)
-                            bs = best_ref[s:s + 1, :]
-                            tm, tb = _sub_hits(forms, bs)
-                            upd = tb < bs
-
-                            @pl.when(jnp.any(upd))
-                            def _():
-                                if "nopay" not in _ABLATE:
-                                    ri = jax.lax.broadcasted_iota(
-                                        jnp.int32, (CLUSTER_LANES, SUB), 0)
-                                    cand = tm <= tb
-                                    win = jnp.min(
-                                        jnp.where(cand, ri, CLUSTER_LANES),
-                                        axis=0, keepdims=True)
-                                    S = ((ri == win) & cand).astype(
-                                        jnp.float32)
-                                    p_new = jax.lax.dot_general(
-                                        pscratch.at[buf][:], S,
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                        precision=_PREC)  # [PAY_ROWS, SUB]
-                                    psl = (slice(None),
-                                           pl.ds(c0 + s * SUB, SUB))
-                                    pay_out[psl] = jnp.where(upd, p_new,
-                                                             pay_out[psl])
-                                best_ref[s:s + 1, :] = jnp.where(upd, tb, bs)
-
-                        if "nosubmask" in _ABLATE:
-                            sub_body()
-                        else:
-                            pl.when(jnp.any(srow))(sub_body)
-                        subs += jnp.any(srow).astype(jnp.int32)
-                    return subs
-
+                # ---- phase 1: ring-pipelined traversal -----------------
                 stack[0] = jnp.int32(0)
                 tlim0 = fr_ref[FR_TLIM, b]
-                sp, l0 = next_leaf(jnp.int32(1), tlim0)
 
-                @pl.when(l0 >= 0)
-                def _():
-                    start_dma(l0, 0, 0)
+                def fill_cond(c):
+                    sp, head, tail, wd, bm = c
+                    return (wd == 0) & (head - tail < RING)
 
-                def cond(c):
-                    return c[0] >= 0
+                def fill_body(c):
+                    sp, head, tail, wd, bm = c
+                    sp, l = next_leaf(sp, bm)
 
-                def body(c):
-                    l0, sp, phase, bm, visits, subs = c
-                    sp, l1 = next_leaf(sp, bm)
-
-                    @pl.when(l1 >= 0)
+                    @pl.when(l >= 0)
                     def _():
-                        start_dma(l1, 0, 1 - phase)
+                        ring[head % RING] = l
+                        bdma(jnp.maximum(meta_ref[1, l], 0) * tpc,
+                             head % RING).start()
 
-                    wait_dma(l0, 0, phase)
-                    subs = process_tile(l0, 0, phase, subs)
-                    if tpc > 1:          # fat clusters: remaining tiles sync
-                        def tile_body(j, subs):
-                            start_dma(l0, j, phase)
-                            wait_dma(l0, j, phase)
-                            return process_tile(l0, j, phase, subs)
-                        subs = jax.lax.fori_loop(1, tpc, tile_body, subs)
-                    if "nobm" in _ABLATE:
-                        bm = tlim0
-                    else:
-                        bm = jnp.max(best_ref[:, :])
-                    return (l1, sp, 1 - phase, bm, visits + tpc, subs)
+                    return (sp, jnp.where(l >= 0, head + 1, head), tail,
+                            jnp.where(l < 0, 1, wd), bm)
 
-                _, _, _, _, visits, subs = jax.lax.while_loop(
-                    cond, body,
-                    (l0, sp, jnp.int32(0), tlim0, jnp.int32(0),
-                     jnp.int32(0)))
+                def outer_cond(c):
+                    sp, head, tail, wd, bm = c
+                    return (head > tail) | (wd == 0)
+
+                def process_one(nd, buf, bits):
+                    t0i = jnp.maximum(meta_ref[1, nd], 0) * tpc
+                    bdma(t0i, buf).wait()
+                    if ablate != "walk":           # dev attribution only
+                        intersect_tile(t0i, buf, bits)
+                    if tpc > 1:          # fat clusters: extra tiles, sync
+                        def tile_body(j, _):
+                            bdma(t0i + j, buf).start()
+                            bdma(t0i + j, buf).wait()
+                            intersect_tile(t0i + j, buf, bits)
+                            return 0
+                        jax.lax.fori_loop(1, tpc, tile_body, 0)
+
+                def outer_body(c):
+                    c = jax.lax.while_loop(fill_cond, fill_body, c)
+                    sp, head, tail, wd, bm = c
+                    n_avail = head - tail
+                    # TWO leaves per iteration: their mask chains are
+                    # independent and their bit transfers batch, so the
+                    # vector pipeline stays fed across the branch points.
+                    # The second leaf's mask uses the pre-first-leaf best
+                    # (conservative superset; the sub intersects re-check
+                    # against the fresh best rows)
+                    ndA = jnp.clip(ring[tail % RING], 0, n_nodes - 1)
+                    ndB = jnp.clip(ring[(tail + 1) % RING], 0, n_nodes - 1)
+                    bitsA = sub_mask_bits(ndA)
+                    bitsB = sub_mask_bits(ndB)
+
+                    @pl.when(n_avail >= 1)
+                    def _():
+                        process_one(ndA, tail % RING, bitsA)
+
+                    @pl.when(n_avail >= 2)
+                    def _():
+                        process_one(ndB, (tail + 1) % RING, bitsB)
+
+                    tail = tail + jnp.minimum(n_avail, 2)
+                    # refresh the scalar walk bound periodically through an
+                    # SMEM cell — an unconditional jnp.max would put a
+                    # vector->scalar stall at the end of EVERY iteration's
+                    # dependency chain (the measured round-4a bottleneck)
+                    @pl.when(tail % BM_PERIOD < 2)
+                    def _():
+                        mf_ref[0] = jnp.max(best_ref[:, :])
+
+                    return (sp, head, tail, wd, mf_ref[0])
+
+                mf_ref[0] = tlim0
+                _, _, tail, _, _ = jax.lax.while_loop(
+                    outer_cond, outer_body,
+                    (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                     tlim0))
+
+                # ---- phase 2: payload extraction per winning tile ------
+                # static double-buffer phases (2 tiles per loop iteration;
+                # a dynamic pscratch.at[phase] on top of the dynamic output
+                # slice costs a per-call operand copy — same measurement as
+                # _sub_forms); the next-max code threads through SMEM so
+                # the second half-step can be branch-guarded
+                code_snap = code_ref[:, :]                    # [NSUB, SUB]
+                m0 = jnp.max(code_snap)
+                if ablate in ("walk", "noextract"):
+                    m0 = jnp.float32(-1.0)        # dev attribution only
+
+                def tile_of(m):
+                    return jnp.floor_divide(m, float(SUB)).astype(jnp.int32)
+
+                @pl.when(m0 >= 0.0)
+                def _():
+                    pdma(tile_of(m0), 0).start()
+
+                def extract_step(m, phase):
+                    """Extract tile(m) from pscratch[phase] (static phase);
+                    prefetches the next winning tile into the other buffer.
+                    Returns the next code max. Sub-packet participation is
+                    one packed bitmask transfer (not 8 any() syncs)."""
+                    tile = tile_of(m)
+                    lo = (tile * SUB).astype(jnp.float32)
+                    cur8 = ((code_ref[:, :] >= lo)
+                            & (code_ref[:, :] < lo + float(SUB)))
+                    code_ref[:, :] = jnp.where(cur8, -1.0, code_ref[:, :])
+                    m2 = jnp.max(code_ref[:, :])
+                    bits = jnp.sum(jnp.where(
+                        jnp.any(cur8, axis=1, keepdims=True), pow2, 0))
+
+                    @pl.when(m2 >= 0.0)
+                    def _():
+                        pdma(tile_of(m2), 1 - phase).start()
+
+                    pdma(tile, phase).wait()
+                    for s in range(NSUB):
+                        @pl.when(((bits >> s) & 1) != 0)
+                        def _(s=s):
+                            srow = cur8[s:s + 1, :]
+                            lane = (code_snap[s:s + 1, :] - lo).astype(
+                                jnp.int32)                      # [1, SUB]
+                            ri = jax.lax.broadcasted_iota(
+                                jnp.int32, (CLUSTER_LANES, SUB), 0)
+                            S = ((ri == lane) & srow).astype(jnp.float32)
+                            p_new = jax.lax.dot_general(
+                                pscratch.at[phase][:], S,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_PREC)       # [PAY_ROWS, SUB]
+                            psl = (slice(None), pl.ds(c0 + s * SUB, SUB))
+                            pay_out[psl] = jnp.where(srow, p_new,
+                                                     pay_out[psl])
+                    return m2
+
+                def x_cond(c):
+                    return c[0] >= 0.0
+
+                def x_body(c):
+                    m, nt = c
+                    m2 = extract_step(m, 0)
+                    mf_ref[0] = m2
+
+                    @pl.when(m2 >= 0.0)
+                    def _():
+                        mf_ref[0] = extract_step(m2, 1)
+
+                    return (mf_ref[0], nt + 2)
+
+                _, n_tiles = jax.lax.while_loop(
+                    x_cond, x_body, (m0, jnp.int32(0)))
 
                 # per-lane best t -> PAY_VALID row; per-block debug counters
                 pay_out[(pl.ds(PAY_VALID, 1), pl.ds(c0, BLOCK))] = \
                     best_ref[:, :].reshape(1, BLOCK)
                 pay_out[(pl.ds(PAY_STAT_VISITS, 1), pl.ds(c0, BLOCK))] = \
-                    jnp.full((1, BLOCK), visits.astype(jnp.float32))
+                    jnp.full((1, BLOCK), (tail * tpc).astype(jnp.float32))
                 pay_out[(pl.ds(PAY_STAT_SUBS, 1), pl.ds(c0, BLOCK))] = \
-                    jnp.full((1, BLOCK), subs.astype(jnp.float32))
+                    jnp.full((1, BLOCK), cnt_ref[0].astype(jnp.float32))
             return 0
 
         jax.lax.fori_loop(0, n_blocks, trace_block, 0)
@@ -350,7 +464,7 @@ def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
     tpc = tiles_per_cluster
 
     def kernel(boxes_ref, meta_ref, fr_ref, bmat_ref, x_ref, occ_out,
-               bscratch, occ_ref, stack, bsem):
+               bscratch, occ_ref, stack, om_ref, bsem):
 
         def start_dma(nd, t_off, buf):
             cid = jnp.maximum(meta_ref[1, nd], 0)
@@ -385,30 +499,43 @@ def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
 
                 next_leaf = _make_next_leaf(boxes_ref, meta_ref, fr_ref, b,
                                             stack, n_nodes)
+                xsub = [X[:, s * SUB:(s + 1) * SUB] for s in range(NSUB)]
+                pow2 = jnp.left_shift(
+                    jnp.int32(1),
+                    jax.lax.broadcasted_iota(jnp.int32, (NSUB, 1), 0))
 
-                def process_tile(nd, buf):
+                def process_tile(nd, buf, k, bm):
                     live8 = occ_ref[:, :] < 0.5
                     lhit = _lane_slab(boxes_ref, nd, o8, i8,
                                       jnp.where(live8, tmax8, 0.0))
+                    # one packed bitmask transfer instead of 8 any() syncs
+                    # (same latency fix as the closest kernel)
+                    bits = jnp.sum(jnp.where(
+                        jnp.any(lhit, axis=1, keepdims=True), pow2, 0))
                     for s in range(NSUB):
-                        srow = lhit[s:s + 1, :]
-
-                        @pl.when(jnp.any(srow))
+                        @pl.when(((bits >> s) & 1) != 0)
                         def _(s=s):
-                            forms = _sub_forms(bscratch.at[buf], x_ref,
-                                               c0, s)
+                            forms = _sub_forms(bscratch.at[buf], xsub[s])
                             ts = tmax8[s:s + 1, :]
                             _, tb = _sub_hits(forms, ts)
                             occ_ref[s:s + 1, :] = jnp.maximum(
                                 occ_ref[s:s + 1, :],
                                 (tb < ts).astype(jnp.float32))
                     # fire-and-forget: the traversal bound shrinks to the
-                    # farthest still-unoccluded lane (TERMINATE_ON_FIRST_HIT)
-                    return jnp.max(jnp.where(occ_ref[:, :] < 0.5, tmax8,
-                                             0.0))
+                    # farthest still-unoccluded lane (TERMINATE_ON_FIRST_HIT
+                    # analog) — refreshed every BM_PERIOD leaves through an
+                    # SMEM cell (a per-leaf vector->scalar stall at the end
+                    # of the chain was the measured bottleneck)
+                    @pl.when(k % BM_PERIOD == 0)
+                    def _():
+                        om_ref[0] = jnp.max(jnp.where(occ_ref[:, :] < 0.5,
+                                                      tmax8, 0.0))
+
+                    return om_ref[0]
 
                 stack[0] = jnp.int32(0)
                 tlim0 = fr_ref[FR_TLIM, b]
+                om_ref[0] = tlim0
                 sp, l0 = next_leaf(jnp.int32(1), tlim0)
 
                 @pl.when(l0 >= 0)
@@ -419,7 +546,7 @@ def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                     return (c[0] >= 0) & (c[3] > 0.0)
 
                 def body(c):
-                    l0, sp, phase, bm = c
+                    l0, sp, phase, bm, k = c
                     sp, l1 = next_leaf(sp, bm)
 
                     @pl.when(l1 >= 0)
@@ -427,17 +554,17 @@ def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
                         start_dma(l1, 0, 1 - phase)
 
                     wait_dma(l0, 0, phase)
-                    bm = process_tile(l0, phase)
+                    bm = process_tile(l0, phase, k, bm)
                     if tpc > 1:
                         def tile_body(j, bm):
                             start_dma(l0, j, phase)
                             wait_dma(l0, j, phase)
-                            return process_tile(l0, phase)
+                            return process_tile(l0, phase, j, bm)
                         bm = jax.lax.fori_loop(1, tpc, tile_body, bm)
-                    return (l1, sp, 1 - phase, bm)
+                    return (l1, sp, 1 - phase, bm, k + 1)
 
-                lx, _, px, _ = jax.lax.while_loop(
-                    cond, body, (l0, sp, jnp.int32(0), tlim0))
+                lx, _, px, _, _ = jax.lax.while_loop(
+                    cond, body, (l0, sp, jnp.int32(0), tlim0, jnp.int32(0)))
 
                 # the all-occluded early exit can leave l0's prefetch in
                 # flight — drain it or the semaphore pairs with the wrong
@@ -479,10 +606,11 @@ def _block_frustum(x, n_blocks):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_nodes", "tiles_per_cluster", "anyhit",
-                                    "stack_cap", "interpret"))
+                                    "stack_cap", "interpret", "ablate"))
 def _trace_chunk(boxes, meta, bmat, pay, x,
                  n_nodes: int, tiles_per_cluster: int, anyhit: bool,
-                 stack_cap: int = 128, interpret: bool = False):
+                 stack_cap: int = 128, interpret: bool = False,
+                 ablate: str = ""):
     """One pallas launch over an [8, Nc] ray tile. Returns the [PAY_ROWS, Nc]
     payload (closest; row PAY_VALID = best t) or [1, Nc] occlusion (anyhit)."""
     nc = x.shape[1]
@@ -499,6 +627,7 @@ def _trace_chunk(boxes, meta, bmat, pay, x,
                 pltpu.VMEM((2, 8, BMAT_COLS), jnp.float32),
                 pltpu.VMEM((NSUB, SUB), jnp.float32),
                 pltpu.SMEM((stack_cap,), jnp.int32),
+                pltpu.SMEM((1,), jnp.float32),               # occ bound
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -515,15 +644,20 @@ def _trace_chunk(boxes, meta, bmat, pay, x,
                   pl.BlockSpec(memory_space=pl.ANY), vm()],
         out_specs=[vm()],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, BMAT_COLS), jnp.float32),
+            pltpu.VMEM((RING, 8, BMAT_COLS), jnp.float32),   # bmat ring
             pltpu.VMEM((2, PAY_ROWS, CLUSTER_LANES), jnp.float32),
-            pltpu.VMEM((NSUB, SUB), jnp.float32),
+            pltpu.VMEM((NSUB, SUB), jnp.float32),            # best t
+            pltpu.VMEM((NSUB, SUB), jnp.float32),            # winner code
+            pltpu.SMEM((RING,), jnp.int32),                  # leaf ring
             pltpu.SMEM((stack_cap,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),                     # sub counter
+            pltpu.SMEM((1,), jnp.float32),                   # extract max
+            pltpu.SemaphoreType.DMA((RING,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = _make_closest_kernel(n_nodes, tiles_per_cluster, n_blocks)
+    kernel = _make_closest_kernel(n_nodes, tiles_per_cluster, n_blocks,
+                                  ablate=ablate)
     out_shape = [jax.ShapeDtypeStruct((PAY_ROWS, nc), jnp.float32)]
     return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
                           interpret=interpret)(boxes, meta, fr, bmat, pay,
@@ -614,7 +748,7 @@ def prepare_pay_tiles(bvh: ClusterBVH, paym):
 
 def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
                       paym=None, pay_tiles=None, interpret: bool = False,
-                      perm=None, inv=None):
+                      perm=None, inv=None, ablate: str = ""):
     """Closest-hit (or any-hit) of [N,3] rays against a ClusterBVH.
 
     Closest: returns (t [N], payload [PAY_ROWS, N]) — prim = payload[PAY_PRIM]
@@ -664,7 +798,8 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
     fn = functools.partial(
         _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, pay_tiles,
         n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
-        anyhit=False, stack_cap=stack_cap, interpret=interpret)
+        anyhit=False, stack_cap=stack_cap, interpret=interpret,
+        ablate=ablate)
     if n_chunks == 1:
         payload = fn(x[0])
     else:

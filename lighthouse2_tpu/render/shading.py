@@ -49,14 +49,16 @@ class ShadingData:
     bitangent: jnp.ndarray      # [N,3] uv bitangent
 
 
-MAT_PACK_ROWS = 23
+MAT_PACK_ROWS = 28
 
 
 def material_pack(mats) -> jnp.ndarray:
-    """The [23, M] component-major material table — float rows 0..17 then the
-    int slots (flags, tex ids) as exact f32 rows 18..22. Row order is the
+    """The [28, M] component-major material table — float rows 0..17 then the
+    int slots (flags, tex ids) as exact f32 rows 18..27. Row order is the
     contract shared by get_shading_data, the payload bake
     (render/kernels/trace.py bake_material_rows) and shading_from_payload."""
+    fi = lambda a: a.astype(jnp.float32)[None]
+    z = jnp.full_like(mats.flags, -1)
     return jnp.concatenate([
         mats.color.T,                             # 0:3
         mats.absorption.T,                        # 3:6
@@ -66,11 +68,19 @@ def material_pack(mats) -> jnp.ndarray:
         mats.sheen[None], mats.sheen_tint[None],
         mats.clearcoat[None], mats.clearcoat_gloss[None],
         mats.transmission[None], mats.eta[None],  # 6..17
-        mats.flags.astype(jnp.float32)[None],     # 18
-        mats.tex_diffuse.astype(jnp.float32)[None],
-        mats.tex_normal.astype(jnp.float32)[None],
-        mats.tex_roughness.astype(jnp.float32)[None],  # 19..21
-        mats.tex_metal_rough.astype(jnp.float32)[None],  # 22 (glTF MR map)
+        fi(mats.flags),                           # 18
+        fi(mats.tex_diffuse),
+        fi(mats.tex_normal),
+        fi(mats.tex_roughness),                   # 19..21
+        fi(mats.tex_metal_rough),                 # 22 (glTF MR map)
+        # per-param slots (Vec3Value/ScalarValue, common_classes.h:177-238)
+        fi(mats.tex_sheen if mats.tex_sheen is not None else z),      # 23
+        fi(mats.tex_clearcoat if mats.tex_clearcoat is not None else z),
+        fi(mats.tex_specular if mats.tex_specular is not None else z),
+        fi(mats.tex_anisotropic
+           if mats.tex_anisotropic is not None else z),               # 26
+        fi(mats.tex_absorption
+           if mats.tex_absorption is not None else z),                # 27
     ], axis=0)
 
 
@@ -88,15 +98,21 @@ def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
     from lighthouse2_tpu.render.fetch import reattach_rows
     from lighthouse2_tpu.bvh import clusters as CL
     tris, mats = scene.tris, scene.materials
-    payload = jax.lax.stop_gradient(payload)
-    prim = payload[CL.PAY_PRIM].astype(jnp.int32)
-    prim = jnp.where(payload[CL.PAY_PRIM] >= 0.0, prim, -1)
-    mat = payload[CL.PAY_MAT].astype(jnp.int32)
+    # indices always come from the detached payload; the DATA rows stay raw
+    # so the scene-sharded path (whose payload is a differentiable psum of
+    # per-shard gathers) keeps its gradient chain
+    payload_sg = jax.lax.stop_gradient(payload)
+    prim = payload_sg[CL.PAY_PRIM].astype(jnp.int32)
+    prim = jnp.where(payload_sg[CL.PAY_PRIM] >= 0.0, prim, -1)
+    mat = payload_sg[CL.PAY_MAT].astype(jnp.int32)
     mat_safe = jnp.where(prim >= 0, mat, 0)
-    ltri = jnp.where(prim >= 0, payload[CL.PAY_LTRI].astype(jnp.int32), -1)
+    ltri = jnp.where(prim >= 0, payload_sg[CL.PAY_LTRI].astype(jnp.int32), -1)
     w = 1.0 - u - v
 
     if geom_reattach:
+        # kernel payload: opaque to autodiff — reattach gradients to the
+        # global packs (render/fetch.py)
+        payload = payload_sg
         g9 = reattach_rows(tris.tri9, prim, payload[CL.PAY_V0:CL.PAY_V0 + 9])
         apack = jnp.concatenate([
             tris.n0.T, tris.n1.T, tris.n2.T,          # 0:9
@@ -109,8 +125,8 @@ def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
     else:
         # scene-sharded mode (parallel/scene_shard.py): no global triangle
         # arrays exist on any one device — consume the psum-assembled rows
-        # directly (forward rendering; geometry gradients are a
-        # replicate-mode feature)
+        # directly; their gradients scatter-add into the per-shard arrays
+        # through the payload assembly itself
         g9 = payload[CL.PAY_V0:CL.PAY_V0 + 9]
         ga = payload[CL.PAY_N0:CL.PAY_N0 + 18]
         lodb = payload[CL.PAY_LOD]
@@ -129,10 +145,17 @@ def shading_from_payload(scene: DeviceScene, d, t, payload, u, v,
           + u[:, None] * jnp.stack([ga[11], ga[12]], -1)
           + v[:, None] * jnp.stack([ga[13], ga[14]], -1))
 
-    mpack = material_pack(mats)
-    m = reattach_rows(mpack, mat_safe, payload[CL.PAY_GEO_ROWS:
-                                               CL.PAY_GEO_ROWS + 23])
-    mi = m[18:23].astype(jnp.int32)
+    if geom_reattach:
+        mpack = material_pack(mats)
+        m = reattach_rows(mpack, mat_safe,
+                          payload[CL.PAY_GEO_ROWS:
+                                  CL.PAY_GEO_ROWS + MAT_PACK_ROWS])
+    else:
+        # sharded payload rows are a differentiable psum of per-shard
+        # mpack gathers — consume them raw (reattach_rows' custom vjp
+        # cannot express the cross-shard varying axes)
+        m = payload[CL.PAY_GEO_ROWS:CL.PAY_GEO_ROWS + MAT_PACK_ROWS]
+    mi = m[18:28].astype(jnp.int32)
     color = v3(0, m)
     rough = m[9]
 
@@ -182,7 +205,7 @@ def get_shading_data(scene: DeviceScene, d, t, prim, u, v, spread_angle,
     mat = tris.mat[p]
     mpack = material_pack(mats)
     m = mpack[:, mat]                             # [23, N] one gather
-    mi = m[18:23].astype(jnp.int32)               # flags, tex ids
+    mi = m[18:28].astype(jnp.int32)               # flags, tex ids
     color = v3(0, m)
     rough = m[9]
 
@@ -236,6 +259,32 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
                           jnp.where(tex_r >= 0, rough * rtex[:, 0], rough))
         metallic = jnp.where(tex_mr >= 0, m[6] * mrtex[:, 2], m[6])
 
+    # per-param texture-or-constant slots (Vec3Value/ScalarValue,
+    # common_classes.h:177-238): the constant scales the fetched texel.
+    # Absent slots are compiled away via the STATIC presence bitmask
+    sheen, clearcoat, spec_p = m[12], m[14], m[8]
+    aniso, absorption = m[11], v3(3, m)
+    pm = getattr(scene.materials, "s_param_maps", 0)
+    if has_any_tex and pm:
+        from lighthouse2_tpu.render.textures import fetch_trilinear as _ftp
+
+        def scalar_map(bit, mi_row, const):
+            if not (pm >> bit) & 1:
+                return const
+            tid = mi[mi_row]
+            tex = _ftp(scene.textures, tid, uv, lam)
+            return jnp.where(tid >= 0, const * tex[:, 0], const)
+
+        sheen = scalar_map(0, 5, sheen)
+        clearcoat = scalar_map(1, 6, clearcoat)
+        spec_p = scalar_map(2, 7, spec_p)
+        aniso = scalar_map(3, 8, aniso)
+        if (pm >> 4) & 1:          # Vec3 slot: absorption reads .rgb
+            tid = mi[9]
+            tex = _ftp(scene.textures, tid, uv, lam)
+            absorption = jnp.where((tid >= 0)[:, None],
+                                   absorption * tex[:, :3], absorption)
+
     # consistent normal correction (tools_shared.h:297-311), backside flip
     alpha = w * alpha3[0] + u * alpha3[1] + v * alpha3[2]
     backside = dot(d, n_int) > 0
@@ -267,16 +316,16 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
 
     return ShadingData(
         color=color,
-        absorption=v3(3, m),
+        absorption=absorption,
         metallic=metallic,
         subsurface=m[7],
-        specular=m[8],
+        specular=spec_p,
         roughness=rough,
         spec_tint=m[10],
-        anisotropic=m[11],
-        sheen=m[12],
+        anisotropic=aniso,
+        sheen=sheen,
         sheen_tint=m[13],
-        clearcoat=m[14],
+        clearcoat=clearcoat,
         clearcoat_gloss=m[15],
         transmission=m[16],
         eta=m[17],

@@ -288,7 +288,10 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None,
         g9 = reattach_rows(tris.tri9, prim,
                            payload[CL.PAY_V0:CL.PAY_V0 + 9])
         rt, ru, rv, ok = refine_hit_rows(o, d, prim, g9)
-        t = jnp.where(prim >= 0, rt, t)
+        # fall back to the kernel t when the refine re-test loses an edge
+        # hit (u/v==0 at f32) — rt=BIG_T would otherwise leak a 1e30 hit
+        # position into shading (NaN gradients, corrupted NEE distances)
+        t = jnp.where((prim >= 0) & ok, rt, t)
         return t, prim, ru, rv, payload
     if mode == "lockstep":
         t, prim, u, v = bvh_intersect(o, d, scene.bvh, tris.v0, tris.e1,
@@ -298,11 +301,14 @@ def _intersect(scene: DeviceScene, o, d, config: RenderConfig, alive=None,
                                              chunk=config.tri_chunk)
         if alive is not None:
             prim = jnp.where(alive, prim, -1)
-    # differentiable refinement: recompute (t,u,v) from the winning triangle
+    # differentiable refinement: recompute (t,u,v) from the winning triangle;
+    # lanes the refine declines (edge/grazing hits) keep the traversal
+    # values with detached gradients — finite instead of 1/det^2 blowups
     rt, ru, rv, ok = refine_hit(o, d, prim, tris.tri9)
-    t = jnp.where(prim >= 0, rt, t)
-    u = jnp.where(prim >= 0, ru, u)
-    v = jnp.where(prim >= 0, rv, v)
+    keep = (prim >= 0) & ok
+    t = jnp.where(keep, rt, t)
+    u = jnp.where(keep, ru, u)
+    v = jnp.where(keep, rv, v)
     return t, prim, u, v, None
 
 

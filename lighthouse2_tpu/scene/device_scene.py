@@ -74,6 +74,16 @@ class DeviceMaterials:
     tex_normal: jnp.ndarray
     tex_roughness: jnp.ndarray
     tex_metal_rough: jnp.ndarray   # glTF metallicRoughnessTexture slot
+    # per-param slots (Vec3Value/ScalarValue, common_classes.h:177-238)
+    tex_sheen: jnp.ndarray = None
+    tex_clearcoat: jnp.ndarray = None
+    tex_specular: jnp.ndarray = None
+    tex_anisotropic: jnp.ndarray = None
+    tex_absorption: jnp.ndarray = None
+    # STATIC bitmask of per-param maps present anywhere in the scene
+    # (bit0 sheen, 1 clearcoat, 2 specular, 3 anisotropic, 4 absorption):
+    # absent maps compile away entirely
+    s_param_maps: int = struct.field(pytree_node=False, default=0)
 
     @property
     def count(self):

@@ -38,6 +38,14 @@ class HostMaterial:
     tex_normal: int = -1
     tex_roughness: int = -1         # scalar roughness map (reads R; OBJ/map_Ns)
     tex_metal_rough: int = -1       # glTF metallicRoughnessTexture (G=rough, B=metal)
+    # per-param texture-or-constant slots (common_classes.h:177-238
+    # Vec3Value/ScalarValue: EVERY Disney parameter can be driven by a map;
+    # the constant value scales the fetched texel). Scalar slots read .r
+    tex_sheen: int = -1
+    tex_clearcoat: int = -1
+    tex_specular: int = -1
+    tex_anisotropic: int = -1
+    tex_absorption: int = -1        # Vec3 slot (reads .rgb)
 
     def is_emissive(self) -> bool:
         return max(self.color) > 1.0
@@ -96,4 +104,8 @@ def materials_to_numpy(mats: list) -> dict:
         flags=gi("flags"), tex_diffuse=gi("tex_diffuse"),
         tex_normal=gi("tex_normal"), tex_roughness=gi("tex_roughness"),
         tex_metal_rough=gi("tex_metal_rough"),
+        tex_sheen=gi("tex_sheen"), tex_clearcoat=gi("tex_clearcoat"),
+        tex_specular=gi("tex_specular"),
+        tex_anisotropic=gi("tex_anisotropic"),
+        tex_absorption=gi("tex_absorption"),
     )

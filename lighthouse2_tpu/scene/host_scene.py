@@ -201,7 +201,43 @@ class HostScene:
         if p.ndim == 1:
             p = p.reshape(1, 1, 3)
         self.sky_pixels = p
+        self._sky_ibl = None
         self.dirty = True
+
+    def load_sky(self, path: str, cache: bool = True) -> None:
+        """Load an equirect HDR skydome with a binary side-cache of the
+        decoded pixels AND the IBL pdf/cdf tables (`<path>.lh2sky.npz`,
+        keyed by source mtime) — the host_skydome.cpp:82-96 `.bin` cache
+        analog, extended to the importance-sampling tables."""
+        import os
+        cache = cache and not os.environ.get("LH2_NO_TEXCACHE")
+        cpath = path + ".lh2sky.npz"
+        if cache:
+            try:
+                key = np.float64(os.path.getmtime(path))
+                with np.load(cpath) as z:
+                    if float(z["key"]) == float(key):
+                        self.sky_pixels = z["pixels"]
+                        self._sky_ibl = (z["pdf"], z["cdf_rows"],
+                                         z["cdf_cond"], float(z["nee"]))
+                        self.dirty = True
+                        return
+            except (OSError, KeyError, ValueError):
+                pass
+        from lighthouse2_tpu.utils import image as im
+        from lighthouse2_tpu.render.sky import build_sky_cdf
+        px = np.asarray(im.read_hdr(path), np.float32)
+        pdf, cdf_rows, cdf_cond, nee = build_sky_cdf(px)
+        self.sky_pixels = px
+        self._sky_ibl = (pdf, cdf_rows, cdf_cond, nee)
+        self.dirty = True
+        if cache:
+            try:
+                np.savez(cpath, key=np.float64(os.path.getmtime(path)),
+                         pixels=px, pdf=pdf, cdf_rows=cdf_rows,
+                         cdf_cond=cdf_cond, nee=np.float64(nee))
+            except OSError:
+                pass
 
     # -- scene-graph flatten (host_node.cpp:144-197 analog) ------------------
 
@@ -316,15 +352,26 @@ class HostScene:
             inv_area=jnp.asarray(inv_area.astype(np.float32)),
             lod=jnp.asarray(lod.astype(np.float32)),
         )
-        materials = DeviceMaterials(**{k: jnp.asarray(v) for k, v in mats_np.items()})
+        s_param_maps = sum(
+            (1 << bit) for bit, key in enumerate(
+                ("tex_sheen", "tex_clearcoat", "tex_specular",
+                 "tex_anisotropic", "tex_absorption"))
+            if (mats_np[key] >= 0).any())
+        materials = DeviceMaterials(
+            **{k: jnp.asarray(v) for k, v in mats_np.items()},
+            s_param_maps=s_param_maps)
         lights = build_lights_np(
             tri_lights, self.point_lights, self.spot_lights, self.dir_lights)
         sky_px = (self.sky_pixels if self.sky_pixels is not None
                   else np.zeros((1, 1, 3), np.float32))
         if sky_px.shape[0] * sky_px.shape[1] > 1:
-            # IBL tables (host_skydome.cpp:20-47 analog); cheap at sync
-            from lighthouse2_tpu.render.sky import build_sky_cdf
-            pdf, cdf_rows, cdf_cond, nee_e = build_sky_cdf(sky_px)
+            # IBL tables (host_skydome.cpp:20-47 analog); reuse the
+            # load_sky() cache when present, else build at sync
+            if getattr(self, "_sky_ibl", None) is not None:
+                pdf, cdf_rows, cdf_cond, nee_e = self._sky_ibl
+            else:
+                from lighthouse2_tpu.render.sky import build_sky_cdf
+                pdf, cdf_rows, cdf_cond, nee_e = build_sky_cdf(sky_px)
             sky = DeviceSky(pixels=jnp.asarray(sky_px), pdf=jnp.asarray(pdf),
                             cdf_rows=jnp.asarray(cdf_rows),
                             cdf_cond=jnp.asarray(cdf_cond),

@@ -53,18 +53,46 @@ class HostTexture:
         return self.mips[0].shape[0]
 
     @staticmethod
-    def load(path: str, srgb: bool = True) -> "HostTexture":
+    def load(path: str, srgb: bool = True, cache: bool = True) -> "HostTexture":
+        """Load with a binary side-cache: decoded + linearized + MIPped
+        texels are stored next to the source as `<path>.lh2c.npz`, keyed by
+        source mtime — the CACHEIMAGES analog (host_texture.cpp;
+        common_settings.h:24). Set cache=False (or env LH2_NO_TEXCACHE) to
+        force a fresh decode."""
+        cache = cache and not os.environ.get("LH2_NO_TEXCACHE")
+        cpath = path + ".lh2c.npz"
+        key = None
+        if cache:
+            try:
+                key = np.array([os.path.getmtime(path), float(srgb),
+                                float(MIP_LEVELS)], np.float64)
+                with np.load(cpath) as z:
+                    if np.array_equal(z["key"], key):
+                        tex = HostTexture.__new__(HostTexture)
+                        tex.mips = [z[f"mip{i}"] for i in range(MIP_LEVELS)]
+                        tex.name = path
+                        return tex
+            except (OSError, KeyError, ValueError):
+                pass
         ext = os.path.splitext(path)[1].lower()
         from lighthouse2_tpu.utils import image as im
         if ext == ".png":
-            return HostTexture(im.read_png(path), name=path, srgb=srgb)
-        if ext in (".jpg", ".jpeg"):
-            return HostTexture(im.read_jpeg(path), name=path, srgb=srgb)
-        if ext == ".hdr":
-            return HostTexture(im.read_hdr(path), name=path, srgb=False)
-        if ext in (".ppm", ".pgm"):
-            return HostTexture(_read_ppm(path), name=path, srgb=srgb)
-        raise ValueError(f"unsupported texture format: {path}")
+            tex = HostTexture(im.read_png(path), name=path, srgb=srgb)
+        elif ext in (".jpg", ".jpeg"):
+            tex = HostTexture(im.read_jpeg(path), name=path, srgb=srgb)
+        elif ext == ".hdr":
+            tex = HostTexture(im.read_hdr(path), name=path, srgb=False)
+        elif ext in (".ppm", ".pgm"):
+            tex = HostTexture(_read_ppm(path), name=path, srgb=srgb)
+        else:
+            raise ValueError(f"unsupported texture format: {path}")
+        if cache and key is not None:
+            try:
+                np.savez(cpath, key=key,
+                         **{f"mip{i}": m for i, m in enumerate(tex.mips)})
+            except OSError:
+                pass                      # read-only asset dir: skip cache
+        return tex
 
 
 def _read_ppm(path):

