@@ -68,7 +68,7 @@ def run_workload(scene_name: str, backward: bool, size: int, paths: int,
 
     cfg = RenderConfig(width=size, height=size, spp_per_pass=1,
                        max_path_length=paths, use_bvh=True,
-                       ray_sort=ray_sort)
+                       ray_sort=ray_sort, remat=backward)
     scene, cam = _make_scene(scene_name, size)
     ds = scene.sync(rebuild_bvh=True)
     view = cam.get_view()

@@ -295,18 +295,56 @@ def refine_hit(o, d, prim, tri9):
     return refine_hit_rows(o, d, prim, tri9[:, p])
 
 
+# bound on refine cotangents: the reparameterized-hit derivative carries
+# 1/det and 1/det^2 factors that are REAL but unbounded at grazing
+# incidence; left unclamped they compound across bounces and overflow f32
+# (measured NaN vertex gradients on multi-bounce interiors). Clipping the
+# backward at the refine boundary is the standard differentiable-rendering
+# mitigation — bias confined to near-grazing configurations.
+_REFINE_GRAD_LIMIT = 1e4
+
+
+def _refine_tuv_impl(o, d, g9):
+    t, u, v, h = mt_comp(
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        g9[0], g9[1], g9[2], g9[3], g9[4], g9[5], g9[6], g9[7], g9[8],
+        jnp.float32(-BIG_T), BIG_T, det_eps=1e-6)
+    return t, u, v
+
+
+@jax.custom_vjp
+def _refine_tuv(o, d, g9):
+    return _refine_tuv_impl(o, d, g9)
+
+
+def _refine_tuv_fwd(o, d, g9):
+    return _refine_tuv_impl(o, d, g9), (o, d, g9)
+
+
+def _refine_tuv_bwd(res, cots):
+    _, pullback = jax.vjp(_refine_tuv_impl, *res)
+    clip = lambda x: jnp.clip(jnp.nan_to_num(x, nan=0.0, posinf=0.0,
+                                             neginf=0.0),
+                              -_REFINE_GRAD_LIMIT, _REFINE_GRAD_LIMIT)
+    return tuple(clip(g) for g in pullback(cots))
+
+
+_refine_tuv.defvjp(_refine_tuv_fwd, _refine_tuv_bwd)
+
+
 def refine_hit_rows(o, d, prim, g9):
     """refine_hit from pre-fetched per-ray triangle rows g9 [9,N] (v0/e1/e2
     component-major) — the gather-free path fed by the trace kernel's
     payload (render/fetch.reattach_rows keeps it differentiable).
 
-    Uses a RAISED determinant cutoff (1e-6): near-parallel re-intersections
-    produce 1/det^2-scale vertex cotangents that overflow f32 (measured NaN
-    vertex grads on grazing bounce hits); callers fall back to the
-    traversal (t,u,v) when the returned ok mask is False."""
-    t, u, v, h = mt_comp(
-        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-        g9[0], g9[1], g9[2], g9[3], g9[4], g9[5], g9[6], g9[7], g9[8],
+    Uses a RAISED determinant cutoff (1e-6) and a CLIPPED backward (see
+    _REFINE_GRAD_LIMIT); callers fall back to the traversal (t,u,v) when
+    the returned ok mask is False (edge/grazing re-tests)."""
+    t, u, v = _refine_tuv(o, d, g9)
+    _, _, _, h = mt_comp(
+        *(jax.lax.stop_gradient(x) for x in (
+            o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            g9[0], g9[1], g9[2], g9[3], g9[4], g9[5], g9[6], g9[7], g9[8])),
         jnp.float32(-BIG_T), BIG_T, det_eps=1e-6)
     valid = prim >= 0
     return (jnp.where(valid, t, BIG_T), jnp.where(valid, u, 0.0),

@@ -86,6 +86,11 @@ class RenderConfig:
     # sharded over a mesh axis and per-hit shading rows arrive via psum, so
     # shading must consume payload rows directly (no global gather packs)
     scene_sharded: bool = False
+    # rematerialize each bounce in the backward pass (jax.checkpoint):
+    # differentiating 16 unrolled bounces at 262k lanes stores ~165 GB of
+    # residuals without it (SURVEY §7.3.6 "remat per bounce") — mandatory
+    # for deep differentiable renders, off for forward-only work
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def tiled(self) -> bool:

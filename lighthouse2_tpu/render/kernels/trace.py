@@ -84,17 +84,16 @@ FR_TLIM, FR_LIVE = 12, 13
 FR_ROWS = 16
 
 
-def _frustum_hit(boxes_ref, fr_ref, b, nd, tlim):
+def _frustum_hit(boxes_ref, frs, nd, tlim):
     """Conservative scalar slab test: can ANY ray in the block's frustum
     (origin box x inverse-direction interval) hit node `nd` before tlim?
-    ~60 scalar ops, fully overlapped with vector work by the scalar core."""
+    ~60 scalar ops, fully overlapped with vector work by the scalar core.
+    `frs` carries the block's 12 frustum scalars as hoisted VALUES — a
+    per-node SMEM re-read of them measured ~40% of the walk."""
     tn = jnp.float32(0.0)
     tf = jnp.float32(BIG)
     for a in range(3):
-        om_lo = fr_ref[FR_OMIN + a, b]
-        om_hi = fr_ref[FR_OMAX + a, b]
-        i_lo = fr_ref[FR_IMIN + a, b]
-        i_hi = fr_ref[FR_IMAX + a, b]
+        om_lo, om_hi, i_lo, i_hi = frs[a]
         u1 = boxes_ref[a, nd] - om_hi        # (bmin - o) interval
         v1 = boxes_ref[a, nd] - om_lo
         u2 = boxes_ref[3 + a, nd] - om_hi    # (bmax - o) interval
@@ -119,6 +118,16 @@ def _make_next_leaf(boxes_ref, meta_ref, fr_ref, b, stack, n_nodes):
     node id) or the stack empties (returns -1). Children are pushed far-
     first so the near child (by direction sign on the node's split axis)
     pops first — the reference's ordered traversal (bvh.cpp:258-302)."""
+    # hoist the block's frustum scalars + per-axis near-child signs once
+    frs = tuple((fr_ref[FR_OMIN + a, b], fr_ref[FR_OMAX + a, b],
+                 fr_ref[FR_IMIN + a, b], fr_ref[FR_IMAX + a, b])
+                for a in range(3))
+    near_left_ax = [(frs[a][2] + frs[a][3] >= 0.0).astype(jnp.int32)
+                    for a in range(3)]
+    # near_left by split axis as a 3-bit scalar (axis lookup = 2 shifts)
+    nl_bits = (near_left_ax[0] | (near_left_ax[1] << 1)
+               | (near_left_ax[2] << 2))
+
     def next_leaf(sp, tlim):
         def cond(c):
             sp_, leaf = c
@@ -128,7 +137,7 @@ def _make_next_leaf(boxes_ref, meta_ref, fr_ref, b, stack, n_nodes):
             sp_, _ = c
             nd = stack[sp_ - 1]
             sp_ = sp_ - 1
-            hit = _frustum_hit(boxes_ref, fr_ref, b, nd, tlim)
+            hit = _frustum_hit(boxes_ref, frs, nd, tlim)
             is_leaf = meta_ref[1, nd] >= 0
             leaf = jnp.where(hit & is_leaf, nd, -1)
             push = hit & ~is_leaf
@@ -137,8 +146,7 @@ def _make_next_leaf(boxes_ref, meta_ref, fr_ref, b, stack, n_nodes):
             def _():
                 right = meta_ref[2, nd]
                 axis = meta_ref[3, nd]
-                near_left = (fr_ref[FR_IMIN + axis, b]
-                             + fr_ref[FR_IMAX + axis, b]) >= 0.0
+                near_left = ((nl_bits >> axis) & 1) != 0
                 stack[sp_] = jnp.where(near_left, right, nd + 1)      # far
                 stack[sp_ + 1] = jnp.where(near_left, nd + 1, right)  # near
 

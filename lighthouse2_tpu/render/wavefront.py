@@ -855,10 +855,18 @@ def trace_paths_unrolled(scene, view, config: RenderConfig, state: AccumState):
     pay_tiles = prepare_cluster_pay(scene, config)
     for li in range(config.max_path_length):
         ext.append(jnp.sum(paths["alive"].astype(jnp.int32)))
-        paths, acc, cam_seed, n_conn = bounce_step(
-            scene, view, config, paths, acc, cam_seed, jnp.int32(li),
-            pay_tiles=pay_tiles,
-            sort_key=None if (li == 0 and config.tiled()) else "dir")
+        sk = None if (li == 0 and config.tiled()) else "dir"
+
+        def step(scene_, view_, paths_, acc_, cam_seed_, pay_tiles_,
+                 li=li, sk=sk):
+            return bounce_step(scene_, view_, config, paths_, acc_,
+                               cam_seed_, jnp.int32(li),
+                               pay_tiles=pay_tiles_, sort_key=sk)
+
+        if config.remat:
+            step = jax.checkpoint(step)
+        paths, acc, cam_seed, n_conn = step(scene, view, paths, acc,
+                                            cam_seed, pay_tiles)
         conn.append(n_conn)
     stats = dict(extension_rays=jnp.stack(ext), shadow_rays=jnp.stack(conn))
     return _finish_pass(config, paths, acc, stats, None, cam_seed)

@@ -85,7 +85,8 @@ measure("no occlude", [
 from lighthouse2_tpu.bvh import clusters as CL
 
 
-def fake_intersect(scene, o, d, config, alive=None):
+def fake_intersect(scene, o, d, config, alive=None, pay_tiles=None,
+                   sort_key=None):
     n = o.shape[0]
     prim = jnp.zeros((n,), jnp.int32)
     t = jnp.ones((n,), jnp.float32)
