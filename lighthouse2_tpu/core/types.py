@@ -78,10 +78,13 @@ class RenderConfig:
     # pathtracer.h:233). Primary rays are never sorted (tile order is
     # already optimal — measured, tools/visit_histogram.py).
     ray_sort: bool = True
-    # sort shadow batches too (origin-morton + octant). Off by default:
-    # measured unions are already small (~24 on bathroom) and the sort
-    # machinery costs more than it saves below ~hundreds of clusters/block
-    shadow_sort: bool = False
+    # sort shadow batches too (origin-morton + octant). ON by default:
+    # although per-lane unions are small (~24 on bathroom), each lane picks
+    # a random light so unsorted blocks mix direction SIGNS — the scalar
+    # frustum walk degenerates to visiting the whole top tree (measured
+    # 1.9s of a 4.2s bathroom pass). Octant-sorted blocks restore tight
+    # frustums (union ~8) for ~6ms of sort machinery per bounce
+    shadow_sort: bool = True
     # scene-sharded multi-chip mode (parallel/scene_shard.py): triangles are
     # sharded over a mesh axis and per-hit shading rows arrive via psum, so
     # shading must consume payload rows directly (no global gather packs)

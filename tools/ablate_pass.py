@@ -140,16 +140,27 @@ measure("no get_shading_data", [
 ])
 
 # 5. lights stubbed
-def fake_rpol(lights, r0, r1, i_pos, n):
+def fake_rpol(lights, r0, r1, i_pos, n, **kw):
     m = i_pos.shape[0]
     return dict(point=i_pos + 1.0, color=jnp.ones((m, 3)),
                 light_pdf=jnp.ones((m,)), pick_prob=jnp.ones((m,)))
 measure("no light sampling", [
     (W, "random_point_on_light", fake_rpol),
-    (W, "light_pick_prob", lambda lights, ltri, o, n, p: jnp.ones(
+    (W, "light_pick_prob", lambda lights, ltri, o, n, p, **kw: jnp.ones(
         p.shape[0], jnp.float32)),
     (W, "calculate_light_pdf", lambda d, t, area, n: jnp.ones(
         t.shape[0], jnp.float32)),
+])
+
+# 7. texture fetches stubbed (constant texel) — isolates the trilinear
+# gather cost inside the shading assembly
+import lighthouse2_tpu.render.textures as TX
+measure("no texture fetch", [
+    (TX, "fetch_trilinear", lambda tex, tid, uv, lam: jnp.ones(
+        (uv.shape[0], 4), jnp.float32)),
+    (SH, "fetch_trilinear", lambda tex, tid, uv, lam: jnp.ones(
+        (uv.shape[0], 4), jnp.float32)) if hasattr(SH, "fetch_trilinear")
+    else (TX, "fetch_bilinear", TX.fetch_bilinear),
 ])
 
 # 6. bsdf stubbed
