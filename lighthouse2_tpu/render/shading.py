@@ -236,8 +236,15 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
         jnp.maximum(cone_width, 1e-20) / jnp.maximum(jnp.abs(dot(d, n_int)), 1e-6))
     tex_d = mi[1]
     has_any_tex = scene.textures.pool.shape[1] > 1
+    # STATIC base-map presence bits (diffuse/normal/roughness/metal-rough):
+    # each absent slot removes a whole trilinear fetch site (8 pool gathers)
+    # from every bounce — the shade stage was gather-bound on scenes that
+    # use only a subset of the slots
+    bmaps = getattr(scene.materials, "s_base_maps", 0b1111) \
+        if has_any_tex else 0
     alpha_cutout = jnp.zeros(t.shape, bool)
-    if has_any_tex:
+    metallic = m[6]
+    if bmaps & 0b0001:
         from lighthouse2_tpu.render.textures import fetch_trilinear
         texel = fetch_trilinear(scene.textures, tex_d, uv, lam)
         color = jnp.where((tex_d >= 0)[:, None], color * texel[:, :3], color)
@@ -247,17 +254,21 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
         from lighthouse2_tpu.scene.host_material import MAT_HASALPHA
         alpha_cutout = ((mi[0] & MAT_HASALPHA) != 0) & (tex_d >= 0) \
             & (texel[:, 3] < 0.5)
+    if bmaps & 0b1100:
+        from lighthouse2_tpu.render.textures import fetch_trilinear
         # glTF metallicRoughnessTexture: roughness in G, metallic in B
         # (common_classes.h per-param slots; gltf 2.0 pbrMetallicRoughness).
         # When BOTH a plain roughness map and an MR map are set, the MR map
         # wins (the slots are loader-exclusive; this pins the precedence)
         tex_r = mi[3]
         tex_mr = mi[4]
-        rtex = fetch_trilinear(scene.textures, tex_r, uv, lam)
-        mrtex = fetch_trilinear(scene.textures, tex_mr, uv, lam)
-        rough = jnp.where(tex_mr >= 0, rough * mrtex[:, 1],
-                          jnp.where(tex_r >= 0, rough * rtex[:, 0], rough))
-        metallic = jnp.where(tex_mr >= 0, m[6] * mrtex[:, 2], m[6])
+        if bmaps & 0b0100:
+            rtex = fetch_trilinear(scene.textures, tex_r, uv, lam)
+            rough = jnp.where(tex_r >= 0, rough * rtex[:, 0], rough)
+        if bmaps & 0b1000:
+            mrtex = fetch_trilinear(scene.textures, tex_mr, uv, lam)
+            rough = jnp.where(tex_mr >= 0, m[9] * mrtex[:, 1], rough)
+            metallic = jnp.where(tex_mr >= 0, m[6] * mrtex[:, 2], m[6])
 
     # per-param texture-or-constant slots (Vec3Value/ScalarValue,
     # common_classes.h:177-238): the constant scales the fetched texel.
@@ -298,7 +309,7 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
 
     # normal mapping — in the uv tangent frame when the mesh has one
     # (CoreTri.T/B, host_mesh.cpp:545-565), ONB fallback otherwise
-    if has_any_tex:
+    if bmaps & 0b0010:
         tex_n = mi[2]
         from lighthouse2_tpu.render.textures import fetch_trilinear as _ft
         from lighthouse2_tpu.core.geometry import oriented_frame
@@ -309,8 +320,6 @@ def _assemble_shading(scene, d, t, prim, u, v, w, spread_angle,
                              + n_shading * n_tan[:, 2:3])
         n_shading = jnp.where((tex_n >= 0)[:, None], n_mapped, n_shading)
 
-    if not has_any_tex:
-        metallic = m[6]
     face_dir = jnp.where(dot(d, n_geom) > 0, -1.0, 1.0)
     emissive = jnp.max(color, axis=-1) > 1.0          # host_material.h:79
 

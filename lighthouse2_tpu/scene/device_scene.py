@@ -84,6 +84,11 @@ class DeviceMaterials:
     # (bit0 sheen, 1 clearcoat, 2 specular, 3 anisotropic, 4 absorption):
     # absent maps compile away entirely
     s_param_maps: int = struct.field(pytree_node=False, default=0)
+    # STATIC bitmask for the base maps (bit0 diffuse, 1 normal,
+    # 2 roughness, 3 metal_rough): each absent slot removes a trilinear
+    # fetch site (8 pool gathers) from EVERY bounce. Default = all present
+    # (scenes built without sync() stay conservative)
+    s_base_maps: int = struct.field(pytree_node=False, default=0b1111)
 
     @property
     def count(self):

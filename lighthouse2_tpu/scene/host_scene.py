@@ -357,9 +357,14 @@ class HostScene:
                 ("tex_sheen", "tex_clearcoat", "tex_specular",
                  "tex_anisotropic", "tex_absorption"))
             if (mats_np[key] >= 0).any())
+        s_base_maps = sum(
+            (1 << bit) for bit, key in enumerate(
+                ("tex_diffuse", "tex_normal", "tex_roughness",
+                 "tex_metal_rough"))
+            if (mats_np[key] >= 0).any())
         materials = DeviceMaterials(
             **{k: jnp.asarray(v) for k, v in mats_np.items()},
-            s_param_maps=s_param_maps)
+            s_param_maps=s_param_maps, s_base_maps=s_base_maps)
         lights = build_lights_np(
             tri_lights, self.point_lights, self.spot_lights, self.dir_lights)
         sky_px = (self.sky_pixels if self.sky_pixels is not None
