@@ -330,10 +330,45 @@ class TAAState:
         return TAAState(prev=jnp.zeros((h, w, 3), jnp.float32))
 
 
-def taa(color, state: TAAState, blend=0.9, world_pos=None, prev_view=None):
+def _mitchell_weight(v):
+    """Mitchell-Netravali B=C=1/3 kernel (sampling_shared.h:22-28)."""
+    x = jnp.abs(v)
+    x2 = x * x
+    x3 = x2 * x
+    b = c = 1.0 / 3.0
+    inner = (1.0 / 6.0) * ((12 - 9 * b - 6 * c) * x3
+                           + (-18 + 12 * b + 6 * c) * x2 + (6 - 2 * b))
+    outer = (1.0 / 6.0) * ((-b - 6 * c) * x3 + (6 * b + 30 * c) * x2
+                           + (-12 * b - 48 * c) * x + (8 * b + 24 * c))
+    return jnp.where(x < 1.0, inner, jnp.where(x < 2.0, outer, 0.0))
+
+
+def _mitchell_taps(px, py, w, h):
+    """16 (flat index, weight) taps of the 4x4 Mitchell-Netravali window
+    around (px, py) — ReadTexelBmitchellNetravali (sampling_shared.h:102-119;
+    out-of-bounds taps get zero weight, total renormalized by the caller)."""
+    x1 = jnp.floor(px - 2.0)
+    y1 = jnp.floor(py - 2.0)
+    for oy in range(4):
+        for ox in range(4):
+            x = x1 + 1.0 + ox
+            y = y1 + 1.0 + oy
+            inside = (x >= 0) & (y > 0) & (x < w) & (y < h)
+            wgt = jnp.where(inside,
+                            _mitchell_weight(x - px) * _mitchell_weight(
+                                y - py), 0.0)
+            xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+            yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+            yield yi * w + xi, wgt
+
+
+def taa(color, state: TAAState, blend=0.9, world_pos=None, prev_view=None,
+        mitchell=True):
     """Variance-clipped temporal AA. With `world_pos` + `prev_view`, the
-    history sample is motion-vector reprojected (bilinear); the YCoCg
-    variance clip absorbs residual mismatch, as in the reference."""
+    history sample is motion-vector reprojected through a 4x4
+    Mitchell-Netravali resample (the reference's TAA history read,
+    finalize_shared.h:399; mitchell=False falls back to bilinear); the
+    YCoCg variance clip absorbs residual mismatch, as in the reference."""
     s = _rgb_to_ycocg(color)
     s2 = s * s
     for dy in (-1, 0, 1):
@@ -354,7 +389,9 @@ def taa(color, state: TAAState, blend=0.9, world_pos=None, prev_view=None):
         pf = state.prev.reshape(h * w, 3)
         acc = jnp.zeros_like(color)
         wa = jnp.zeros(color.shape[:2], jnp.float32)
-        for idx, wgt in _bilinear_taps(px, py, w, h):
+        taps = (_mitchell_taps(px, py, w, h) if mitchell
+                else _bilinear_taps(px, py, w, h))
+        for idx, wgt in taps:
             tw = wgt * valid
             acc = acc + jnp.take(pf, idx, axis=0) * tw[..., None]
             wa = wa + tw

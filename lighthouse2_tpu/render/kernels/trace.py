@@ -44,7 +44,10 @@ pixel-tile order (block union on the bathroom interior: ~15 clusters —
 measured, tools/visit_histogram.py; sorting primaries makes them WORSE);
 bounce rays are sorted by coarse-origin-cell + direction-morton
 (ray_sort_perm key="dir": union 132 vs 227 unsorted at bounce 1); shadow
-rays are naturally coherent (union ~24) and left unsorted by default.
+batches are octant-sorted (their per-lane unions are small, but random
+light picks mix direction SIGNS, and a sign-mixed block degenerates the
+scalar frustum walk to visiting the whole top tree — measured at half the
+bathroom frame).
 
 Differentiability: traversal is discrete and every kernel output is
 gradient-stopped; gradients re-enter through `reattach_rows`

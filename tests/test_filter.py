@@ -218,3 +218,43 @@ def test_taa_jittered_view():
         assert 0 < np.linalg.norm(shift) < np.linalg.norm(
             np.asarray(view.p2) - np.asarray(view.p1)) / 16
     assert len(seen) == 4   # 4 distinct phases
+
+
+def test_mitchell_weights_partition():
+    """Mitchell-Netravali B=C=1/3 (sampling_shared.h:22-28): kernel sums to
+    1 over the integer lattice for any phase, peak at 0."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lighthouse2_tpu.render.filter import _mitchell_weight
+    for phase in (0.0, 0.25, 0.5, 0.9):
+        s = sum(float(_mitchell_weight(jnp.float32(k - phase)))
+                for k in range(-3, 4))
+        assert abs(s - 1.0) < 1e-5
+    w0 = float(_mitchell_weight(jnp.float32(0.0)))
+    assert abs(w0 - (6.0 - 2.0 / 3.0) / 6.0) < 1e-6
+    assert float(_mitchell_weight(jnp.float32(2.1))) == 0.0
+
+
+def test_taa_mitchell_reprojection_runs():
+    """TAA with the Mitchell history resample (finalize_shared.h:399) stays
+    finite and converges toward the current frame under a static camera."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lighthouse2_tpu.render.filter import TAAState, taa
+    from lighthouse2_tpu.scene.presets import cornell_box
+    _, cam = cornell_box(32, 32)
+    view = cam.get_view()
+    h = w = 32
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    wp = jnp.asarray(
+        np.asarray(view.pos)[None, None]
+        + 2.0 * np.asarray(cam.direction)[None, None]
+        + rng.uniform(-0.5, 0.5, (h, w, 3)).astype(np.float32) * 0.1)
+    st = TAAState.make(h, w)
+    out, st = taa(img, st, world_pos=wp, prev_view=view, mitchell=True)
+    out2, st = taa(img, st, world_pos=wp, prev_view=view, mitchell=True)
+    assert np.isfinite(np.asarray(out2)).all()
+    # repeated identical input -> output approaches the input
+    assert float(jnp.abs(out2 - img).mean()) <= float(
+        jnp.abs(out - img).mean()) + 1e-5
