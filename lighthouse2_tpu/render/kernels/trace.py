@@ -71,7 +71,7 @@ from lighthouse2_tpu.bvh.clusters import (
 BLOCK = 1024           # rays per packet (one scalar walk per block)
 SUB = 128              # sub-packet lanes (vreg lane width)
 NSUB = BLOCK // SUB
-CHUNK_BLOCKS = 16      # ray blocks per pallas launch (VMEM budget)
+CHUNK_BLOCKS = 32      # ray blocks per pallas launch (VMEM budget)
 MT_EPS = 1e-6          # t epsilon (bvh/traverse.py parity)
 BIG = 1e30
 _PREC = jax.lax.Precision.HIGHEST   # f32-accurate MXU (bf16x3 passes)
@@ -208,7 +208,7 @@ def _sub_hits(forms, limit_row):
 
 
 RING = 4               # bmat-tile DMA pipeline depth (closest kernel)
-BM_PERIOD = 4          # leaves between scalar best_max refreshes
+BM_PERIOD = 8          # leaves between scalar best_max refreshes
 
 
 def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,

@@ -164,3 +164,21 @@ def test_cluster_nonmultiple_block_padding():
     t0, p0, _, _ = bvh_intersect(o, d, bvh)
     t1, payload = trace_cluster_bvh(o, d, cb, BIG_T, interpret=True)
     np.testing.assert_array_equal(np.asarray(p0), _prim_of(payload))
+
+
+def test_cluster_multi_chunk_matches_single(monkeypatch):
+    """The lax.map multi-chunk path (rays > CHUNK_BLOCKS*1024) must agree
+    with the single-chunk result."""
+    from lighthouse2_tpu.render.kernels import trace as TK
+    v0, v1, v2 = _scene(400, seed=21)
+    cb = build_cluster_bvh(v0, v1, v2)
+    o, d = _rays(3 * BLOCK, seed=22)
+    t1, pay1 = trace_cluster_bvh(o, d, cb, BIG_T, interpret=True)
+    occ_t = jnp.full((3 * BLOCK,), 1.2, jnp.float32)
+    occ1 = trace_cluster_bvh(o, d, cb, occ_t, anyhit=True, interpret=True)
+    monkeypatch.setattr(TK, "CHUNK_BLOCKS", 1)
+    t2, pay2 = trace_cluster_bvh(o, d, cb, BIG_T, interpret=True)
+    occ2 = trace_cluster_bvh(o, d, cb, occ_t, anyhit=True, interpret=True)
+    np.testing.assert_array_equal(_prim_of(pay1), _prim_of(pay2))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
