@@ -49,7 +49,7 @@ def _make_scene(name, size):
 
 def run_workload(scene_name: str, backward: bool, size: int, paths: int,
                  n_passes: int, grads: str = "all",
-                 ray_sort: bool = True) -> float:
+                 ray_sort: bool = True, regen: bool = False) -> float:
     """Mrays/s for one workload (rays = extension + shadow, CoreStats
     convention, apps/imguiapp/main.cpp:222-233).
 
@@ -58,17 +58,19 @@ def run_workload(scene_name: str, backward: bool, size: int, paths: int,
     executor). grads="materials" takes d(loss)/d(material colors) only;
     grads="all" also includes vertex positions (reparameterized hits +
     per-pass tile rebake) and area-light radiance — the full BASELINE
-    gradient contract."""
+    gradient contract. regen=True runs the path-regeneration executor
+    (persistent full-occupancy pool, wavefront.py trace_paths_regen)."""
     import jax
     import jax.numpy as jnp
     import functools
     from lighthouse2_tpu.core.types import RenderConfig
     from lighthouse2_tpu.render.wavefront import (
-        AccumState, render_pass_auto, trace_paths_unrolled)
+        AccumState, render_pass_auto, trace_paths_unrolled,
+        trace_paths_regen, ensure_regen_state)
 
     cfg = RenderConfig(width=size, height=size, spp_per_pass=1,
                        max_path_length=paths, use_bvh=True,
-                       ray_sort=ray_sort, remat=backward)
+                       ray_sort=ray_sort, remat=backward, path_regen=regen)
     scene, cam = _make_scene(scene_name, size)
     ds = scene.sync(rebuild_bvh=True)
     view = cam.get_view()
@@ -85,6 +87,19 @@ def run_workload(scene_name: str, backward: bool, size: int, paths: int,
                     s = set_light_radiance(s, p["light"])
                 if "offset" in p:
                     s = displace_vertices(s, p["offset"])
+                if config.path_regen:
+                    acc_delta, count_px, cam_seed, pool, stats = \
+                        trace_paths_regen(s, view_, config, state)
+                    img = (acc_delta[:, :3]
+                           / jnp.maximum(count_px, 1.0)[:, None])
+                    st = AccumState(
+                        accumulator=state.accumulator + acc_delta,
+                        sample_count=state.sample_count
+                        + config.spp_per_pass,
+                        cam_seed=cam_seed,
+                        pixel_count=state.pixel_count + count_px,
+                        pool=pool)
+                    return jnp.mean((img - target) ** 2), st
                 acc_delta, cam_seed, stats = trace_paths_unrolled(
                     s, view_, config, state)
                 img = acc_delta[:, :3]
@@ -117,6 +132,8 @@ def run_workload(scene_name: str, backward: bool, size: int, paths: int,
         fixed_rays = None
 
     state = AccumState.make(cfg)
+    if regen:
+        state = ensure_regen_state(view, state, cfg)
     # warmup / compile (NO readbacks before or during the timed loop)
     state, stats = step(state)
     jax.block_until_ready(state.accumulator)
@@ -229,7 +246,8 @@ def main():
         n_passes = int(os.environ.get("BENCH_PASSES", "10"))
         mrays = run_workload(scene_name, backward, size, paths, n_passes,
                              grads=os.environ.get("BENCH_GRADS", "all"),
-                             ray_sort=not os.environ.get("BENCH_NO_SORT"))
+                             ray_sort=not os.environ.get("BENCH_NO_SORT"),
+                             regen=bool(os.environ.get("BENCH_REGEN")))
         mode = "forward+backward" if backward else "forward"
         print(json.dumps({
             "metric": f"Mrays/s/chip {mode} ({scene_name} {size}x{size}, "

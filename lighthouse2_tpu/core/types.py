@@ -89,6 +89,15 @@ class RenderConfig:
     # sharded over a mesh axis and per-hit shading rows arrive via psum, so
     # shading must consume payload rows directly (no global gather packs)
     scene_sharded: bool = False
+    # path regeneration (persistent wavefront pool): dead lanes immediately
+    # restart a fresh sample of their own pixel each bounce iteration, so the
+    # dense per-bounce trace/shade work tracks ~100% occupancy instead of the
+    # tail of a dying wavefront (the TPU answer to the reference's stream
+    # compaction, pathtracer.h:233 — compaction shrinks the launch, regen
+    # keeps the static pool full). The pool persists across passes
+    # (AccumState.pool) so samples are never truncated; per-pixel sample
+    # counts live in AccumState.pixel_count and finalize() divides by them.
+    path_regen: bool = False
     # rematerialize each bounce in the backward pass (jax.checkpoint):
     # differentiating 16 unrolled bounces at 262k lanes stores ~165 GB of
     # residuals without it (SURVEY §7.3.6 "remat per bounce") — mandatory

@@ -20,6 +20,7 @@ Deliberate deviations from the reference (documented, SURVEY.md Appendix A):
 from __future__ import annotations
 
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -48,10 +49,16 @@ EPSILON = 1e-4   # pathtracer epsilon for pdf cutoff
 @struct.dataclass
 class AccumState:
     """Progressive-accumulation state — the Converge/Restart checkpoint tuple
-    (accumulator, samplesTaken, camRNGseed; rendercore.cpp:627-634)."""
+    (accumulator, samplesTaken, camRNGseed; rendercore.cpp:627-634).
+
+    The regen executor (config.path_regen) extends the tuple with per-pixel
+    completed-sample counts and the persistent in-flight path pool; both stay
+    None on the classic fixed-spp executors."""
     accumulator: jnp.ndarray   # [W*H, 4]; .w accumulates primary depth
     sample_count: jnp.ndarray  # scalar int32 (samplesTaken)
     cam_seed: jnp.ndarray      # scalar uint32
+    pixel_count: Any = None    # [W*H] f32 completed samples (regen mode)
+    pool: Any = None           # (paths, depth, sample_k) persistent wavefront
 
     @staticmethod
     def make(config: RenderConfig) -> "AccumState":
@@ -119,12 +126,14 @@ def untile_image(x, config: RenderConfig):
 
 
 def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
-                      path_idx=None):
+                      path_idx=None, sample_idx=None):
     """Primary-ray generation (optix/.optix.cu:66-99 generateEyeRay):
     pixel jitter, 9-bladed lens DOF, optional barrel distortion.
 
     `path_idx` may be a shard of the global [0, W·H·spp) index range — that is
-    how the parallel layer splits the wavefront across chips."""
+    how the parallel layer splits the wavefront across chips. `sample_idx`
+    (regen executor) overrides the per-lane sample numbers — each lane then
+    runs its own independent sample stream of its pixel."""
     w, h = config.width, config.height
     if path_idx is None:
         path_idx = jnp.arange(config.n_paths, dtype=jnp.uint32)
@@ -135,9 +144,14 @@ def generate_eye_rays(view: ViewPyramid, config: RenderConfig, sample_base,
         pixel_idx = _tiled_pixel(slot, w).astype(jnp.int32)
     else:
         pixel_idx = slot.astype(jnp.int32)
-    seed = rng_mod.raygen_seed(path_idx, jnp.asarray(sample_base, jnp.uint32))
-    sample_idx = (jnp.asarray(sample_base, jnp.uint32)
-                  + path_idx // jnp.uint32(w * h))
+    if sample_idx is None:
+        seed = rng_mod.raygen_seed(path_idx,
+                                   jnp.asarray(sample_base, jnp.uint32))
+        sample_idx = (jnp.asarray(sample_base, jnp.uint32)
+                      + path_idx // jnp.uint32(w * h))
+    else:
+        sample_idx = jnp.asarray(sample_idx, jnp.uint32)
+        seed = rng_mod.raygen_seed(path_idx, sample_idx)
 
     seed, r0 = rng_mod.random_float(seed)
     seed, r1 = rng_mod.random_float(seed)
@@ -885,16 +899,141 @@ def render_pass_unrolled(scene, view, state, config):
     return new_state, stats
 
 
+# ---------------------------------------------------------------------------
+# Path-regeneration executor (config.path_regen).
+#
+# The classic wavefront pays every dense per-bounce stage (trace, shade, NEE,
+# occlude) on ALL W·H·spp lanes even after most paths have died — measured on
+# bathroom at path 16, average live occupancy is ~30%, i.e. ~2/3 of the shade
+# FLOPs touch dead lanes (STAGE_TIMES_r04.json finding_2). The reference
+# compacts the launch instead (pathtracer.h:233 extensionRay counters); XLA's
+# static shapes can't shrink a launch, so we do the dual: keep the pool FULL.
+# Each bounce iteration, every dead lane immediately starts a fresh sample of
+# its own pixel (Novák et al., "Path Regeneration for Interactive Path
+# Tracing", Eurographics 2010 short). Lanes therefore complete samples
+# asynchronously; per-pixel completed-sample counts ride AccumState and
+# finalize() divides per pixel. The in-flight path pool persists across
+# passes so no sample is ever truncated (zero truncation bias; the per-pixel
+# mean is a standard ratio estimator, consistent as samples accumulate).
+# ---------------------------------------------------------------------------
+
+def make_regen_pool(view: ViewPyramid, config: RenderConfig):
+    """Fresh persistent pool: every lane starts sample k of its pixel, where
+    k = path_idx // (W·H) stratifies the spp lanes of one pixel. Per-lane
+    sample numbers advance by spp on completion so two lanes of the same
+    pixel never reuse a sample index."""
+    wh = config.width * config.height
+    path_idx = jnp.arange(config.n_paths, dtype=jnp.uint32)
+    sample_k = path_idx // jnp.uint32(wh)
+    paths = generate_eye_rays(view, config, 0, sample_idx=sample_k)
+    # eager construction aliases buffers (last_n IS dir); donation in the
+    # pass jit requires each leaf to own its buffer
+    paths = {k: jnp.asarray(v).copy() for k, v in paths.items()}
+    depth = jnp.zeros((config.n_paths,), jnp.int32)
+    return paths, depth, sample_k
+
+
+def trace_paths_regen(scene, view, config: RenderConfig, state: AccumState):
+    """One pass of max_path_length full-occupancy bounce iterations over the
+    persistent pool. Returns (acc_delta [W·H,4], count_delta [W·H], cam_seed',
+    pool', stats)."""
+    assert not config.filter_enabled, \
+        "path_regen has no G-buffer stream; use the filter core's executor"
+    wh = config.width * config.height
+    spp = config.spp_per_pass
+    paths, depth, sample_k = state.pool
+    n = paths["path_idx"].shape[0]
+    acc = jnp.zeros((n, 4), jnp.float32)
+    count = jnp.zeros((n,), jnp.float32)
+    cam_seed = state.cam_seed
+    ext, conn = [], []
+    pay_tiles = prepare_cluster_pay(scene, config)
+    for _ in range(config.max_path_length):
+        # regenerate: a dead lane completed its previous sample — count it
+        # and start the lane's next sample of the SAME pixel
+        dead = jax.lax.stop_gradient(~paths["alive"])
+        fresh = generate_eye_rays(view, config, 0, sample_idx=sample_k)
+        paths = {k: jnp.where(dead if fresh[k].ndim == 1 else dead[:, None],
+                              fresh[k], paths[k]) for k in fresh}
+        count = count + dead.astype(jnp.float32)
+        sample_k = sample_k + jnp.uint32(spp) * dead.astype(jnp.uint32)
+        depth = jnp.where(dead, 0, depth)
+        ext.append(jnp.sum(paths["alive"].astype(jnp.int32)))
+
+        # one bounce with PER-LANE depth: shade_bounce's path_length /
+        # is_primary / rng / blue-noise math is already elementwise, so the
+        # mixed-depth pool rides the exact same code as the classic executors
+        def step(scene_, view_, paths_, acc_, cam_seed_, pay_tiles_, depth_):
+            return bounce_step(scene_, view_, config, paths_, acc_,
+                               cam_seed_, depth_, pay_tiles=pay_tiles_,
+                               sort_key="dir")
+
+        if config.remat:
+            step = jax.checkpoint(step)
+        paths, acc, cam_seed, n_conn = step(scene, view, paths, acc,
+                                            cam_seed, pay_tiles, depth)
+        depth = depth + paths["alive"].astype(jnp.int32)
+        conn.append(n_conn)
+
+    unt = lambda x: untile_image(x.reshape(spp, wh, -1), config).sum(0)
+    acc_px = unt(acc)
+    count_px = unt(count[:, None])[:, 0]
+    stats = dict(
+        extension_rays=jnp.stack(ext),
+        shadow_rays=jnp.stack(conn),
+        primary_rays=jnp.sum(count).astype(jnp.int32),
+        total_extension=jnp.sum(jnp.stack(ext)),
+        total_shadow=jnp.sum(jnp.stack(conn)),
+    )
+    return acc_px, count_px, cam_seed, (paths, depth, sample_k), stats
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("state",))
+def _render_pass_regen_jit(scene, view, state, config):
+    acc_delta, count_px, cam_seed, pool, stats = trace_paths_regen(
+        scene, view, config, state)
+    new_state = AccumState(
+        accumulator=state.accumulator + acc_delta,
+        sample_count=state.sample_count + config.spp_per_pass,
+        cam_seed=cam_seed,
+        pixel_count=state.pixel_count + count_px,
+        pool=pool,
+    )
+    return new_state, stats
+
+
+def ensure_regen_state(view, state: AccumState, config: RenderConfig):
+    """Attach a fresh pool + zero counts to a classic AccumState (restart)."""
+    if state.pool is not None:
+        return state
+    return state.replace(
+        pool=make_regen_pool(view, config),
+        pixel_count=jnp.zeros((config.width * config.height,), jnp.float32))
+
+
+def render_pass_regen(scene, view, state: AccumState, config: RenderConfig):
+    state = ensure_regen_state(view, state, config)
+    return _render_pass_regen_jit(scene, view, state, config)
+
+
 def render_pass_auto(scene, view, state, config):
     """Pick the executor: fused scan jit on CPU / virtual devices (fast
-    compile), unrolled one-jit on TPU (fast execution)."""
+    compile), unrolled one-jit on TPU (fast execution); the regen executor
+    owns both backends when config.path_regen."""
+    if config.path_regen:
+        return render_pass_regen(scene, view, state, config)
     if jax.default_backend() in ("cpu",):
         return render_pass_jit(scene, view, state, config)
     return render_pass_unrolled(scene, view, state, config)
 
 
 def finalize(state: AccumState):
-    """accumulator / samplesTaken → linear HDR image [H*W? no: W*H,3]
-    (finalize_shared.h:29-45)."""
+    """accumulator / samplesTaken → linear HDR image [W*H,3]
+    (finalize_shared.h:29-45). Regen states divide per pixel by the
+    completed-sample counts instead of the global samplesTaken."""
+    if state.pixel_count is not None:
+        cnt = jnp.maximum(state.pixel_count, 1.0)
+        return state.accumulator[:, :3] / cnt[:, None]
     spp = jnp.maximum(state.sample_count, 1).astype(jnp.float32)
     return state.accumulator[:, :3] / spp

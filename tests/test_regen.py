@@ -1,0 +1,110 @@
+"""Path-regeneration executor (config.path_regen, wavefront.py).
+
+The regen pool is the TPU answer to the reference's stream compaction
+(rendercore_optix7/kernels/pathtracer.h:233): instead of shrinking the
+launch to the live rays, dead lanes immediately restart a fresh sample of
+their own pixel so every dense bounce iteration runs at ~full occupancy.
+These tests pin the estimator (per-pixel mean over completed samples)
+against the classic fixed-spp executor, plus determinism, persistence
+across passes, and gradient flow.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lighthouse2_tpu.core.types import RenderConfig
+from lighthouse2_tpu.render import wavefront as wf
+from lighthouse2_tpu.scene.presets import cornell_box
+
+
+KW = dict(width=32, height=32, spp_per_pass=1, max_path_length=8,
+          use_bvh=True)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene, cam = cornell_box(32, 32)
+    return scene.sync(rebuild_bvh=True), cam.get_view()
+
+
+def _run(ds, view, cfg, n_passes):
+    st = wf.AccumState.make(cfg)
+    stats = None
+    for _ in range(n_passes):
+        st, stats = wf.render_pass_auto(ds, view, st, cfg)
+    return st, stats
+
+
+def test_regen_matches_classic_estimator(cornell):
+    """Converged regen mean == converged classic mean (same light transport,
+    different sample scheduling). 40 passes x 8 iterations gives every pixel
+    >= 40 completed samples; the per-pixel means must agree to MC noise."""
+    ds, view = cornell
+    st_c, _ = _run(ds, view, RenderConfig(**KW), 40)
+    st_r, _ = _run(ds, view, RenderConfig(path_regen=True, **KW), 40)
+    img_c = wf.finalize(st_c)
+    img_r = wf.finalize(st_r)
+    # overall energy within 3%; per-pixel within loose MC tolerance
+    assert abs(float(img_c.mean() - img_r.mean())) < 0.03 * float(img_c.mean())
+    assert float(jnp.abs(img_c - img_r).mean()) < 0.05
+
+
+def test_regen_counts_and_occupancy(cornell):
+    """Every iteration traces the full pool (the whole point); per-pixel
+    completed-sample counts are positive and grow with passes."""
+    ds, view = cornell
+    cfg = RenderConfig(path_regen=True, **KW)
+    st, stats = _run(ds, view, cfg, 5)
+    n = cfg.n_paths
+    ext = jax.device_get(stats["extension_rays"])
+    assert (ext == n).all(), f"pool not full each iteration: {ext}"
+    cnt = jax.device_get(st.pixel_count)
+    assert (cnt > 0).all()
+    # counts are bounded by started samples: <= passes * iterations
+    assert cnt.max() <= 5 * cfg.max_path_length
+    # rays/pass is ~max_path_length / avg-occupancy times the classic count
+    st2, stats2 = _run(ds, view, RenderConfig(**KW), 1)
+    assert int(stats["total_extension"]) > int(stats2["total_extension"])
+
+
+def test_regen_deterministic(cornell):
+    ds, view = cornell
+    cfg = RenderConfig(path_regen=True, **KW)
+    st1, _ = _run(ds, view, cfg, 3)
+    st2, _ = _run(ds, view, cfg, 3)
+    assert jnp.array_equal(st1.accumulator, st2.accumulator)
+    assert jnp.array_equal(st1.pixel_count, st2.pixel_count)
+
+
+def test_regen_pool_persists_across_passes(cornell):
+    """In-flight paths continue next pass: the pool's depth/sample_k leave
+    the initial state, and a lane's sample index only moves in steps of spp."""
+    ds, view = cornell
+    cfg = RenderConfig(path_regen=True, **KW)
+    st, _ = _run(ds, view, cfg, 2)
+    paths, depth, sample_k = st.pool
+    assert int(sample_k.max()) > 0            # lanes completed samples
+    assert int(jax.device_get(depth).max()) >= 0
+    # per-lane sample numbers stay in the lane's stratum (multiples of spp
+    # offset by path_idx // wh, here spp=1 so any value is fine but must be
+    # bounded by total iterations)
+    assert int(sample_k.max()) <= 2 * cfg.max_path_length
+
+
+def test_regen_gradients_flow(cornell):
+    """d(loss)/d(material color) through one regen pass is finite and
+    nonzero — the bench headline differentiates exactly this path."""
+    ds, view = cornell
+    cfg = RenderConfig(path_regen=True, **KW)
+    state = wf.ensure_regen_state(view, wf.AccumState.make(cfg), cfg)
+
+    def loss(color):
+        s = ds.replace(materials=ds.materials.replace(color=color))
+        acc, cnt, _seed, _pool, _stats = wf.trace_paths_regen(
+            s, view, cfg, state)
+        img = acc[:, :3] / jnp.maximum(cnt, 1.0)[:, None]
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(ds.materials.color)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).sum()) > 0.0
