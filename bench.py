@@ -118,8 +118,13 @@ def run_workload(scene_name: str, backward: bool, size: int, paths: int,
         target = jnp.zeros((size * size, 3), jnp.float32)
 
         def step(st):
-            st2, _g = fb_pass(ds, view, st, cfg, target, params)
-            return st2, {"total_extension": jnp.int32(0)}
+            st2, g = fb_pass(ds, view, st, cfg, target, params)
+            # thread the gradients through so the end-of-loop sync waits for
+            # the FULL backward chain — blocking on the accumulator alone
+            # lets a lazy relay report the forward outputs ready while the
+            # vjp is still in flight (measured: a 2-pass fwd+bwd "finishing"
+            # in 1.7 ms)
+            return st2, {"total_extension": jnp.int32(0), "grads": g}
 
         # ray counts for the rate come from one forward stats pass (the
         # backward step function does not thread stats; per-pass counts
@@ -136,14 +141,14 @@ def run_workload(scene_name: str, backward: bool, size: int, paths: int,
         state = ensure_regen_state(view, state, cfg)
     # warmup / compile (NO readbacks before or during the timed loop)
     state, stats = step(state)
-    jax.block_until_ready(state.accumulator)
+    jax.block_until_ready((state, stats))
 
     all_stats = []
     t0 = time.perf_counter()
     for _ in range(n_passes):
         state, stats = step(state)
         all_stats.append(stats)
-    jax.block_until_ready(state.accumulator)
+    jax.block_until_ready((state, stats))
     dt = time.perf_counter() - t0
 
     if fixed_rays is not None:
@@ -273,22 +278,28 @@ def main():
         }))
         return
 
-    extra["bathroom_fwd_mrays"] = round(
+    # classic fixed-spp executor (round-3 workload, kept for trend)
+    extra["bathroom_fwd_classic_mrays"] = round(
         run_workload("bathroom", False, size, paths, 3), 3)
+    # path-regeneration executor (persistent full-occupancy pool) — the
+    # committed forward configuration
+    extra["bathroom_fwd_mrays"] = round(
+        run_workload("bathroom", False, size, paths, 3, regen=True), 3)
     # materials-only backward (the round-3 headline workload, for trend)
     extra["bathroom_fwdbwd_materials_mrays"] = round(
         run_workload("bathroom", True, size, paths, 2, grads="materials"), 3)
     # HEADLINE: full gradient contract — materials + vertices + light
     # radiance (BASELINE.md "pixel grads -> vertices, materials, light
-    # intensities"), through the unrolled executor
-    headline = run_workload("bathroom", True, size, paths, 2, grads="all")
+    # intensities"), through the regen executor
+    headline = run_workload("bathroom", True, size, paths, 2, grads="all",
+                            regen=True)
     scaling = _capture_scaling_artifact()
     if isinstance(scaling, dict) and "value" in scaling:
         extra["scaling_efficiency_8dev"] = scaling["value"]
 
     print(json.dumps({
         "metric": f"Mrays/s/chip forward+backward (bathroom {size}x{size}, "
-                  f"path {paths}, grads=materials+vertices+lights)",
+                  f"path {paths}, grads=materials+vertices+lights, regen)",
         "value": round(headline, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(headline / BASELINE_MRAYS, 4),
