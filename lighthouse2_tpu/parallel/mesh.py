@@ -60,6 +60,12 @@ def render_pass_sharded(scene, view, state: AccumState, config: RenderConfig,
     n = config.n_paths
     n_dev = mesh.devices.size
     assert n % n_dev == 0, f"n_paths {n} must divide over {n_dev} devices"
+    # the regen executor's persistent pool is not wired through the sharded
+    # path yet — fail loudly rather than silently measuring the classic
+    # fixed-spp executor (the two differ in per-pass work and estimator)
+    assert not config.path_regen, \
+        "path_regen is single-chip only; sharded executors run the classic " \
+        "fixed-spp trace — set path_regen=False for multi-chip runs"
     path_idx = jnp.arange(n, dtype=jnp.uint32)
 
     body = jax.shard_map(

@@ -40,6 +40,15 @@ class WavefrontCore(RenderCore):
         wall = time.perf_counter() - t0
         ext = int(stats["total_extension"])
         shad = int(stats["total_shadow"])
+        if self.state.pixel_count is not None:
+            # regen executor: lanes complete samples asynchronously, so the
+            # CoreStats spp is the per-pixel completed-sample count (mean
+            # and min reported; sample_count only counts passes). In this
+            # mode "primary_rays" = samples completed this pass.
+            pc = np.asarray(self.state.pixel_count)
+            spp_stat = {"spp": float(pc.mean()), "spp_min": float(pc.min())}
+        else:
+            spp_stat = {"spp": int(self.state.sample_count)}
         self.stats = {
             "render_time": wall,
             "primary_rays": int(stats["primary_rays"]),
@@ -47,7 +56,7 @@ class WavefrontCore(RenderCore):
             "shadow_rays": shad,
             "total_rays": ext + shad,
             "mrays_per_s": (ext + shad) / max(wall, 1e-9) / 1e6,
-            "spp": int(self.state.sample_count),
+            **spp_stat,
             "extension_per_bounce": np.asarray(stats["extension_rays"]),
             "shadow_per_bounce": np.asarray(stats["shadow_rays"]),
         }

@@ -949,14 +949,19 @@ def trace_paths_regen(scene, view, config: RenderConfig, state: AccumState):
     ext, conn = [], []
     pay_tiles = prepare_cluster_pay(scene, config)
     for _ in range(config.max_path_length):
-        # regenerate: a dead lane completed its previous sample — count it
-        # and start the lane's next sample of the SAME pixel
+        # regenerate: a dead lane completed its previous sample (credited at
+        # death, below) — start the lane's NEXT sample of the SAME pixel.
+        # The sample index advances BEFORE generation: the completed sample
+        # already consumed the current index, and reusing it would repeat
+        # the pixel jitter / lens point / blue-noise sequence (one
+        # correlated sample per lane per pool restart). Live lanes' fresh
+        # values are discarded by the where(), so only dead lanes observe
+        # the incremented index.
         dead = jax.lax.stop_gradient(~paths["alive"])
+        sample_k = sample_k + jnp.uint32(spp) * dead.astype(jnp.uint32)
         fresh = generate_eye_rays(view, config, 0, sample_idx=sample_k)
         paths = {k: jnp.where(dead if fresh[k].ndim == 1 else dead[:, None],
                               fresh[k], paths[k]) for k in fresh}
-        count = count + dead.astype(jnp.float32)
-        sample_k = sample_k + jnp.uint32(spp) * dead.astype(jnp.uint32)
         depth = jnp.where(dead, 0, depth)
         ext.append(jnp.sum(paths["alive"].astype(jnp.int32)))
 
@@ -973,15 +978,27 @@ def trace_paths_regen(scene, view, config: RenderConfig, state: AccumState):
         paths, acc, cam_seed, n_conn = step(scene, view, paths, acc,
                                             cam_seed, pay_tiles, depth)
         depth = depth + paths["alive"].astype(jnp.int32)
+        # credit the completed sample at DEATH (not at the next
+        # regeneration): its energy entered `acc` this bounce, so energy and
+        # count land in the same pass and finalize() is unbiased even at
+        # low pass counts (the only residual bias is in-flight partial-path
+        # NEE energy, which vanishes as samples accumulate)
+        count = count + jax.lax.stop_gradient(
+            ~paths["alive"]).astype(jnp.float32)
         conn.append(n_conn)
 
     unt = lambda x: untile_image(x.reshape(spp, wh, -1), config).sum(0)
     acc_px = unt(acc)
     count_px = unt(count[:, None])[:, 0]
+    # NOTE regen stats semantics: "primary_rays" = samples COMPLETED this
+    # pass (lanes restart asynchronously, so there is no per-pass primary
+    # wavefront); per-pixel spp comes from AccumState.pixel_count, not
+    # sample_count (see WavefrontCore.render).
     stats = dict(
         extension_rays=jnp.stack(ext),
         shadow_rays=jnp.stack(conn),
         primary_rays=jnp.sum(count).astype(jnp.int32),
+        samples_completed=jnp.sum(count).astype(jnp.int32),
         total_extension=jnp.sum(jnp.stack(ext)),
         total_shadow=jnp.sum(jnp.stack(conn)),
     )

@@ -24,19 +24,25 @@ else:
     scene, cam = cornell_box(SIZE, SIZE)
 ds = scene.sync(rebuild_bvh=True)
 view = cam.get_view()
+REGEN = bool(os.environ.get("BENCH_REGEN"))   # attribute the regen executor
 cfg = RenderConfig(width=SIZE, height=SIZE, spp_per_pass=1,
-                   max_path_length=PLEN, use_bvh=True)
+                   max_path_length=PLEN, use_bvh=True, path_regen=REGEN)
 
 
 def bench():
     jax.clear_caches()   # force re-trace so monkeypatches take effect
     state = wf.AccumState.make(cfg)
-    st, _ = wf.render_pass_unrolled(ds, view, state, cfg)
+    if REGEN:
+        state = wf.ensure_regen_state(view, state, cfg)
+        run = wf.render_pass_regen
+    else:
+        run = wf.render_pass_unrolled
+    st, _ = run(ds, view, state, cfg)
     jax.block_until_ready(st.accumulator)
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        st, _ = wf.render_pass_unrolled(ds, view, st, cfg)
+        st, _ = run(ds, view, st, cfg)
     jax.block_until_ready(st.accumulator)
     return (time.perf_counter() - t0) / n * 1e3
 
@@ -162,6 +168,25 @@ measure("no texture fetch", [
         (uv.shape[0], 4), jnp.float32)) if hasattr(SH, "fetch_trilinear")
     else (TX, "fetch_bilinear", TX.fetch_bilinear),
 ])
+
+# 5b. regen raygen stubbed (the regen executor regenerates dead lanes every
+# bounce iteration -> 16 generate_eye_rays calls/pass vs 1 classic)
+if REGEN:
+    def const_gen(view_, config_, sample_base, path_idx=None,
+                  sample_idx=None):
+        n = config_.n_paths if path_idx is None else path_idx.shape[0]
+        pidx = (jnp.arange(n, dtype=jnp.uint32) if path_idx is None
+                else path_idx.astype(jnp.uint32))
+        z = jnp.zeros((n,), jnp.float32)
+        d = jnp.tile(jnp.array([[0., 0., 1.]], jnp.float32), (n, 1))
+        return dict(path_idx=pidx, origin=d * 0.0, dir=d,
+                    throughput=jnp.ones((n, 3), jnp.float32),
+                    bsdf_pdf=z + 1.0, last_n=d, prev_specular=z == 0.0,
+                    n_diffuse=z.astype(jnp.int32), alive=z == 0.0,
+                    pixel=pidx.astype(jnp.int32) % (config_.width
+                                                    * config_.height),
+                    sample=jnp.zeros((n,), jnp.uint32))
+    measure("no regen raygen", [(W, "generate_eye_rays", const_gen)])
 
 # 6. bsdf stubbed
 def fake_eval(sd, n, wo, wi):
