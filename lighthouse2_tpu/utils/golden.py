@@ -1,0 +1,67 @@
+"""The committed golden frame — one fixed-seed bathroom render that pins the
+renderer across rounds and backends (the PrimeRef validation methodology:
+"REFERENCE, for image validation", apps/imguiapp/main.cpp:170).
+
+The ANCHOR values below were produced by the CPU lockstep intersector at the
+stated config and are asserted byte-exactly there (tests/test_golden_bathroom)
+and to cross-backend tolerance by the TPU cluster kernel (bench.py --golden).
+If a DELIBERATE sampling/transport change moves the image, regenerate with
+`python -m lighthouse2_tpu.utils.golden` and commit the new values together
+with the change that caused them.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SIZE = 64
+PATHS = 3
+
+# CPU lockstep anchor (f32 accumulator, 1 pass) — round 5
+ANCHOR_MEAN = 0.3503255844116211
+ANCHOR_STD = 0.4814242720603943
+ANCHOR_SHA256 = \
+    "c87bbaaa7d5ed91c6c547ad5fb6b698ba17650195e0437d6c06245c2171725a4"
+
+
+def golden_config(intersector: str, interpret: bool = False):
+    from lighthouse2_tpu.core.types import RenderConfig
+    return RenderConfig(width=SIZE, height=SIZE, spp_per_pass=1,
+                        max_path_length=PATHS, use_bvh=True, bsdf="disney",
+                        sky_ibl=True, intersector=intersector,
+                        kernel_interpret=interpret)
+
+
+def golden_scene():
+    """The exact golden scene: low-detail bathroom + synthetic gradient sky
+    (disney BSDF + textures + IBL — the feature set the headline bench
+    exercises)."""
+    from lighthouse2_tpu.scene.bench_scene import bathroom
+    scene, cam = bathroom(SIZE, SIZE, detail=0)
+    h, w = 16, 32
+    sky = np.zeros((h, w, 3), np.float32)
+    sky[:, :, 2] = np.linspace(1.2, 0.1, h)[:, None]
+    sky[:, :, 0] = 0.3
+    scene.set_sky(sky)
+    return scene, cam
+
+
+def render_golden(intersector: str, interpret: bool = False) -> np.ndarray:
+    """One fixed-seed pass -> f32 accumulator [SIZE*SIZE, 3]."""
+    from lighthouse2_tpu.render.wavefront import AccumState, render_pass_jit
+    scene, cam = golden_scene()
+    ds = scene.sync(rebuild_bvh=True)
+    cfg = golden_config(intersector, interpret)
+    st, _ = render_pass_jit(ds, cam.get_view(), AccumState.make(cfg), cfg)
+    return np.asarray(st.accumulator[:, :3], np.float32)
+
+
+def main():
+    import hashlib
+    a = render_golden("lockstep")
+    print("ANCHOR_MEAN =", repr(float(a.mean())))
+    print("ANCHOR_STD =", repr(float(a.std())))
+    print('ANCHOR_SHA256 = "%s"' % hashlib.sha256(a.tobytes()).hexdigest())
+
+
+if __name__ == "__main__":
+    main()

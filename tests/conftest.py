@@ -35,6 +35,12 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def pytest_configure(config):
+    # `-m "not slow"` = the fast tier (full suite wall time roughly doubled
+    # between rounds 3 and 4; the heavy convergence/compile tests carry
+    # their weight but need an opt-out, VERDICT r4 weak #8)
+    config.addinivalue_line(
+        "markers", "slow: heavy convergence/compile tests "
+        "(deselect with -m 'not slow')")
     backend = jax.default_backend()
     ndev = jax.device_count()
     if backend != "cpu" or ndev < 8:

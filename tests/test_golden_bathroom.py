@@ -1,48 +1,36 @@
-"""Cross-backend golden regression on the REAL workload (VERDICT r3 #6):
-the bathroom-class interior with disney BSDF + textures + sky IBL, rendered
-by the CPU lockstep traversal AND the cluster kernel (interpret mode), must
-agree — the PrimeRef validation methodology (apps/imguiapp/main.cpp:170) on
-the scene the bench actually measures."""
+"""Cross-backend golden regression on the REAL workload (VERDICT r3 #6,
+r4 #6): the bathroom-class interior with disney BSDF + textures + sky IBL,
+rendered by the CPU lockstep traversal AND the cluster kernel (interpret
+mode), must agree — the PrimeRef validation methodology
+(apps/imguiapp/main.cpp:170) on the scene the bench actually measures.
+
+The lockstep frame is additionally pinned to a COMMITTED anchor
+(utils/golden.py): byte-exact sha256 on the CPU backend plus mean/std to
+1e-3. `bench.py --golden` runs the same frame through the cluster kernel on
+the real TPU once per round."""
+import hashlib
+
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
-from lighthouse2_tpu.core.types import RenderConfig
-from lighthouse2_tpu.render.wavefront import AccumState, render_pass_jit
-from lighthouse2_tpu.scene.bench_scene import bathroom
-
-SIZE = 32
+from lighthouse2_tpu.utils import golden
 
 
-def _render(intersector):
-    scene, cam = bathroom(SIZE, SIZE, detail=0)
-    # sky IBL on: synthetic gradient equirect (the workload the headline
-    # bench exercises has textures+disney; IBL joins here per VERDICT)
-    h, w = 16, 32
-    sky = np.zeros((h, w, 3), np.float32)
-    sky[:, :, 2] = np.linspace(1.2, 0.1, h)[:, None]
-    sky[:, :, 0] = 0.3
-    scene.set_sky(sky)
-    ds = scene.sync(rebuild_bvh=True)
-    cfg = RenderConfig(width=SIZE, height=SIZE, spp_per_pass=1,
-                       max_path_length=3, use_bvh=True, bsdf="disney",
-                       sky_ibl=True, intersector=intersector,
-                       kernel_interpret=(intersector == "cluster"))
-    st, _ = render_pass_jit(ds, cam.get_view(), AccumState.make(cfg), cfg)
-    return np.asarray(st.accumulator[:, :3])
-
-
+@pytest.mark.slow
 def test_bathroom_golden_cross_backend():
-    a = _render("lockstep")
-    b = _render("cluster")
+    a = golden.render_golden("lockstep")
+    b = golden.render_golden("cluster", interpret=True)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     # identical sampling decisions -> near-identical images; the only
     # differences are f32 op-order effects in the two intersectors
     np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3)
-    # absolute anchor: the golden frame is lit (sky + interior lights) and
-    # in a stable brightness band; a transport regression (lost NEE, broken
-    # MIS, dead texture path) moves this by far more
-    mean = float(a.mean())
-    assert 0.01 < mean < 10.0
-    # structure: textured floor forces spatial variance
-    assert float(a.std()) > 0.01
+
+    # committed anchor: a transport regression (lost NEE, broken MIS, dead
+    # texture path, reordered RNG draws) moves these. If a DELIBERATE
+    # change moved the image, regenerate via `python -m
+    # lighthouse2_tpu.utils.golden` and commit the new anchor with it.
+    assert abs(float(a.mean()) - golden.ANCHOR_MEAN) < 1e-3
+    assert abs(float(a.std()) - golden.ANCHOR_STD) < 1e-3
+    assert hashlib.sha256(a.tobytes()).hexdigest() == golden.ANCHOR_SHA256, \
+        "byte-exact golden anchor moved — regenerate utils/golden.py " \
+        "deliberately if the sampling change is intended"

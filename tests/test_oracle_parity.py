@@ -6,6 +6,7 @@ This is the "reference validation core" discipline of SURVEY.md §4.1.
 import dataclasses
 
 import numpy as np
+import pytest
 
 from lighthouse2_tpu.core.types import RenderConfig
 from lighthouse2_tpu.render.wavefront import AccumState, render_pass_jit
@@ -57,6 +58,7 @@ def test_parity_cornell_two_bounces():
     compare(scene, cam, 12, 12, 2, 2)
 
 
+@pytest.mark.slow
 def test_parity_cornell_deep():
     scene, cam = cornell_box(8, 8)
     compare(scene, cam, 8, 8, 2, 4, passes=2)

@@ -35,6 +35,7 @@ def _run(ds, view, cfg, n_passes):
     return st, stats
 
 
+@pytest.mark.slow
 def test_regen_matches_classic_estimator(cornell):
     """Converged regen mean == converged classic mean (same light transport,
     different sample scheduling). 40 passes x 8 iterations gives every pixel
