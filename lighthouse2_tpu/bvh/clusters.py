@@ -1,14 +1,17 @@
-"""Cluster BVH — the TPU-shaped acceleration structure (round-3 MXU layout).
+"""Cluster BVH — the TPU-shaped acceleration structure (MXU tile layout).
 
 The reference traverses a per-ray recursive BVH2 with a stack
 (RenderCore_Bart/bvh.cpp:258-302). Per-ray pointer chasing does not map to
-TPU vector units, so the structure is reorganized for *speculative packet
-traversal* (see render/kernels/trace.py):
+TPU vector units, so the structure is reorganized for *packet traversal*
+(design notes + measured rationale: render/kernels/trace.py header and
+STAGE_TIMES_r04.json):
 
-  - the tree ABOVE the cluster roots (the "top tree") is flattened in DFS
-    order with SKIP LINKS: a ray block either descends (node+1) or jumps the
-    whole subtree (skip) — no stack, one scalar node pointer per block;
-    top-tree nodes are scalar-prefetched into SMEM;
+  - the tree ABOVE the cluster roots (the "top tree") is kept small enough
+    to live in SMEM, where the SCALAR core walks it per ray block with an
+    explicit stack, near-child-first (meta rows 2-3 carry the right-child id
+    and split axis for the ordering; row 0 keeps a DFS skip link for the
+    lockstep/interpret paths). Frustum culling happens in that scalar walk
+    while the vector units intersect the previous leaf;
   - triangles are grouped into CLUSTERS cut from maximal SAH-subtree roots
     (spatially tight). Each 128-triangle tile is stored TWICE:
 
@@ -198,10 +201,13 @@ def rebake_geometry(cb: ClusterBVH, tri9) -> ClusterBVH:
 
 
 def cut_clusters(flat: dict, tri: dict,
-                 max_top_nodes: int = MAX_TOP_NODES) -> ClusterBVH:
+                 max_top_nodes: int = MAX_TOP_NODES,
+                 min_tpc: int = 1) -> ClusterBVH:
     """Re-cut a flattened SAH BVH2 (builder.py layout) into the cluster
     structure. Subtree prims are contiguous in `flat['prim']` (DFS leaf
-    order), so a cluster is just a (first, count) range of that array."""
+    order), so a cluster is just a (first, count) range of that array.
+    `min_tpc` forces a larger tiles_per_cluster (scene sharding stacks
+    per-shard structures and needs a COMMON tpc across shards)."""
     v0 = np.asarray(tri["v0"], np.float32)
     v1 = np.asarray(tri["v1"], np.float32)
     v2 = np.asarray(tri["v2"], np.float32)
@@ -227,7 +233,7 @@ def cut_clusters(flat: dict, tri: dict,
             sub_first[i] = sub_first[left[i]]
 
     # smallest tiles_per_cluster whose pruned top tree fits the SMEM budget
-    tpc = 1
+    tpc = max(1, int(min_tpc))
     while True:
         k = CLUSTER_LANES * tpc
         kept = 1

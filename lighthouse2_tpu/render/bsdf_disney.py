@@ -6,9 +6,10 @@ becomes renormalized-random masked branches; every lobe is evaluated for the
 MIS-combined pdf exactly like disney.h:279-294. The dielectric transmission
 path is shared with the Lambert shader (disney.h:211-234).
 
-Tangent frames come from the branchless ONB (the reference uses the uv
-tangent; anisotropy here is ONB-aligned — deliberate simplification until
-uv tangents ride in DeviceTriangles).
+Tangent frames use the mesh uv tangent/bitangent when present (they ride in
+the shading data — shading.py:48-49 — interpolated from the payload's
+PAY_TAN/PAY_BIT rows, like the reference's CoreTri.T frame); triangles
+without a uv frame fall back to the branchless ONB.
 """
 from __future__ import annotations
 
