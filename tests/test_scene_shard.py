@@ -125,3 +125,64 @@ def test_scene_sharded_grads_finite():
     assert np.isfinite(np.asarray(g_col)).all()
     assert float(jnp.abs(g_col).sum()) > 0.0
     assert float(jnp.abs(g_v0).sum()) > 0.0
+
+
+@pytest.mark.slow
+def test_scene_sharded_cluster_kernel_matches_lockstep():
+    """The sharded mode's TPU hot path: per-shard ClusterBVHs traced by the
+    pallas kernel (interpret mode here; VERDICT r4 #4 'wire the cluster
+    kernel into scene sharding'). Must match the lockstep sharded render
+    AND keep gradients flowing through the reattached payload pack."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lighthouse2_tpu.parallel.scene_shard import (
+        build_shard_cluster_bvhs, _shard_pack)
+    from lighthouse2_tpu.bvh import clusters as CL
+    from lighthouse2_tpu.render.shading import material_pack
+
+    assert jax.device_count() >= 8
+    ds, view, cfg = _many_tri_scene(16)
+    mesh = make_mesh2d(2, 4)
+    st_ref, _ = render_pass_scene_sharded(
+        ds, view, AccumState.make(cfg), cfg, mesh)      # lockstep shards
+    kcfg = dataclasses.replace(cfg, intersector="cluster",
+                               kernel_interpret=True)
+    sh = shard_triangle_arrays(ds.tris, 4)
+    cbvhs = build_shard_cluster_bvhs(sh)
+
+    # reattach contract: the shard pack's columns must equal the baked tile
+    # payload values bit-for-bit on real triangles
+    pack0 = _shard_pack({k: v[0] for k, v in sh.items()},
+                        material_pack(ds.materials))
+    pg0 = np.asarray(cbvhs.pgeo[0])   # [CT, GEO_ROWS, 128] of shard 0
+    pr = pg0[:, CL.PAY_PRIM, :]
+    valid = pr >= 0
+    # PAY_PRIM in tiles is the LOCAL id -> column index into the pack
+    loc = np.where(valid, pr, 0).astype(np.int64)
+    for row in (CL.PAY_V0, CL.PAY_E1 + 1, CL.PAY_E2 + 2, CL.PAY_N0,
+                CL.PAY_UV0, CL.PAY_ALPHA, CL.PAY_MAT, CL.PAY_LOD):
+        got = pg0[:, row, :][valid]
+        want = np.asarray(pack0)[row][loc[valid]]
+        np.testing.assert_array_equal(got, want)
+
+    st_k, _ = render_pass_scene_sharded(
+        ds, view, AccumState.make(kcfg), kcfg, mesh, sh=sh,
+        shard_cbvh=cbvhs)
+    np.testing.assert_allclose(np.asarray(st_k.accumulator),
+                               np.asarray(st_ref.accumulator),
+                               rtol=2e-3, atol=2e-4)
+
+    def loss(v0_sh, color):
+        sh2 = dict(sh, v0=v0_sh)
+        s = ds.replace(materials=ds.materials.replace(color=color))
+        st, _ = render_pass_scene_sharded(
+            s, view, AccumState.make(kcfg), kcfg, mesh, sh=sh2,
+            shard_cbvh=cbvhs)
+        return jnp.mean(st.accumulator[:, :3] ** 2)
+
+    g_v0, g_col = jax.grad(loss, argnums=(0, 1))(sh["v0"],
+                                                 ds.materials.color)
+    assert np.isfinite(np.asarray(g_v0)).all()
+    assert np.isfinite(np.asarray(g_col)).all()
+    assert float(jnp.abs(g_col).sum()) > 0.0
+    assert float(jnp.abs(g_v0).sum()) > 0.0
