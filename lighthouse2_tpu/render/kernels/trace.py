@@ -1,62 +1,53 @@
-"""Frustum-culled packet BVH traversal — the TPU intersection kernel (r5).
+"""Frustum-culled packet BVH traversal — the TPU intersection kernel (round 4).
 
 The reference's hot trace stage is an OptiX RTX launch (rendercore_optix7/
 optix/.optix.cu:151-170); the CPU core traverses a BVH2 recursively per ray
 with near-child-first ordering (RenderCore_Bart/bvh.cpp:258-302). Neither
-maps to a TPU. The design evolved by measurement:
+maps to a TPU. Round 3 used speculative packet traversal: one scalar node
+pointer per 1024-ray block walking a skip-link DFS, every ray paying for the
+UNION of clusters any ray needed. That collapsed on 1000-cluster scenes
+(bathroom: blocks visited ~250 of 1083 clusters; 26x slower than cornell).
+Round-4 redesign — work now scales with per-SUB-PACKET needs, not the
+block union, and the walk itself is off the vector units:
 
-  round 3 — speculative packet traversal: one scalar node pointer per
-  1024-ray block walking a skip-link DFS; every ray paid for the UNION of
-  clusters any ray needed. Collapsed on 1000-cluster scenes.
-
-  round 4 — scalar-core stack walk with a per-BLOCK conservative frustum
-  (origin box x inverse-direction interval) + per-sub-packet masked MXU
-  intersection. Redeemed the walk, but the block frustum mixes the bounds
-  of 1024 lanes: measured 387 leaf visits/block at bounce 1 where the true
-  per-128-lane-sub-packet union is 32.6 (STAGE_TIMES_r04.json), and the
-  per-leaf lane-mask vector->scalar sync still sat on the critical path.
-
-  round 5 (this file) — PER-SUB-PACKET WALKS: each 128-lane sub-packet
-  traverses the top tree with its OWN frustum and explicit SMEM stack,
-  near-child-first, sequentially s=0..7 per block:
-
-  - the sub frustum is pre-flipped into sign-uniform coordinates outside
-    the kernel (_sub_frustums): per axis, if every live lane's direction
-    shares a sign, the axis is mirrored so directions are positive and the
-    slab test needs only ~12 scalar ops/axis (2 flip-muls, min/max, 2 subs,
-    2 muls, 2 selects) — versus the 8-product interval test a mixed-sign
-    interval requires. A mixed-sign axis (rare after the octant/dir-morton
-    sorts; a few tile subs for primaries) degrades to "no pruning on that
-    axis" (f=0 rows make tn=-inf, tf=+inf), never to incorrectness;
-  - at each visited leaf the owning sub-packet's MXU intersection runs
-    UNCONDITIONALLY — no per-leaf lane-slab mask, no vector->scalar bits
-    transfer in the loop body at all (the round-4 measured latency bound).
-    The only vector->scalar traffic is the per-sub best-t bound refreshed
-    through an SMEM cell every BM_PERIOD leaves, off the critical path;
-  - leaves stream through the same RING-deep bmat DMA pipeline, shared
-    across the 8 walks (the ring never drains at a sub boundary: the fill
-    loop of sub s+1 starts while sub s's tail is still intersecting);
-  - per-sub best-t bounds are tighter than the block bound ever was: a
-    sub-packet that found close hits stops descending far subtrees even
-    while its siblings keep walking.
-
+  - the top tree is walked per block by the SCALAR core with an explicit
+    SMEM stack, near-child-first (split axis x direction sign, like the
+    reference's ordered Traverse) so closest hits are found early and a
+    scalar best_max prunes far subtrees;
+  - node culling is a CONSERVATIVE INTERVAL slab test of the block's ray
+    frustum (origin box x inverse-direction interval, computed outside the
+    kernel per block) — a ~60-scalar-op test the scalar core runs while the
+    VPU/MXU process the previous leaf, replacing the round-3 per-node
+    [1,1024] vector slab (8 vregs/op at 1/8 sublane utilization);
+  - at each visited leaf, ONE cheap [8,128]-layout per-lane slab test (the
+    1024 lanes re-shaped so all 8 sub-packets occupy sublanes — full VPU
+    utilization) yields per-lane hit masks with per-lane best-t pruning;
+    only SUB-PACKETS (128 rays) with candidate lanes run the MXU
+    intersection, so a leaf needed by 1 of 8 sub-packets costs 1/8 of the
+    round-3 visit;
   - leaves are 128-triangle CLUSTER tiles in plane+barycentric form
     (clusters.py `bmat`): one MXU dot_general([8,768],[8,128]) per
-    (leaf, sub-packet) yields all six linear forms for every (ray,
-    triangle) pair; a short dense VPU epilogue selects hits;
-  - the winning triangle's 72-row shading PAYLOAD (geometry host-baked,
-    material rows device-baked per pass) is extracted AFTER traversal by a
-    one-hot matmul per distinct winning tile, so the shade stage needs
-    ZERO per-primitive gathers;
+    participating sub-packet yields all six linear forms for every
+    (ray, triangle) pair; a short dense VPU epilogue selects hits;
+  - the winning triangle's 64-row shading PAYLOAD (geometry host-baked,
+    material rows device-baked per pass) is extracted in-kernel by a
+    one-hot matmul, so the shade stage needs ZERO per-primitive gathers
+    (the round-3 fix that removed the gather-bound profile);
+  - bmat + payload tiles stream HBM->VMEM double-buffered: the next leaf is
+    prefetched while the current one is intersected;
   - per-block visit counters are written to payload rows PAY_STAT_* — the
-    ColorDebugBVH analog (raytracer.cpp:102-120).
+    ColorDebugBVH analog (raytracer.cpp:102-120) and the artifact for
+    STAGE_TIMES_r04.
 
 Ray-order contract (render/wavefront.py): primary rays arrive in 32x32
-pixel-tile order; bounce rays are sorted by coarse-origin-cell +
-direction-morton (ray_sort_perm key="dir"); shadow batches are
-octant-sorted. The sorts matter twice now: they shrink the per-sub union
-AND they make direction signs uniform so the cheap flipped slab test
-prunes (a sign-mixed axis is a no-op axis).
+pixel-tile order (block union on the bathroom interior: ~15 clusters —
+measured, tools/visit_histogram.py; sorting primaries makes them WORSE);
+bounce rays are sorted by coarse-origin-cell + direction-morton
+(ray_sort_perm key="dir": union 132 vs 227 unsorted at bounce 1); shadow
+batches are octant-sorted (their per-lane unions are small, but random
+light picks mix direction SIGNS, and a sign-mixed block degenerates the
+scalar frustum walk to visiting the whole top tree — measured at half the
+bathroom frame).
 
 Differentiability: traversal is discrete and every kernel output is
 gradient-stopped; gradients re-enter through `reattach_rows`
@@ -77,8 +68,8 @@ from lighthouse2_tpu.bvh.clusters import (
     PAY_PRIM, PAY_MAT, PAY_VALID, PAY_GEO_ROWS, PAY_MAT_ROWS, PAY_ROWS,
 )
 
-BLOCK = 1024           # rays per packet
-SUB = 128              # sub-packet lanes (vreg lane width; one walk each)
+BLOCK = 1024           # rays per packet (one scalar walk per block)
+SUB = 128              # sub-packet lanes (vreg lane width)
 NSUB = BLOCK // SUB
 CHUNK_BLOCKS = 32      # ray blocks per pallas launch (VMEM budget)
 MT_EPS = 1e-6          # t epsilon (bvh/traverse.py parity)
@@ -87,14 +78,113 @@ _PREC = jax.lax.Precision.HIGHEST   # f32-accurate MXU (bf16x3 passes)
 
 # per-block debug counters, written into the payload's pad rows after the
 # walk (consumed by render/probe.py bvh_heatmap and tools/trace_stats.py)
-PAY_STAT_VISITS = PAY_GEO_ROWS - 2   # 38: leaf-tile visits (sum over subs)
+PAY_STAT_VISITS = PAY_GEO_ROWS - 2   # 38: cluster-tile visits of the block
 PAY_STAT_SUBS = PAY_GEO_ROWS - 1     # 39: sub-packet MXU intersections
 
-# per-sub-packet frustum row layout ([FS_ROWS, n_blocks*NSUB] f32
-# scalar-prefetch, built by _sub_frustums; index = block*NSUB + sub)
-FS_F, FS_OMIN, FS_OMAX, FS_IMIN, FS_IMAX = 0, 3, 6, 9, 12
-FS_TLIM, FS_LIVE = 15, 16
-FS_ROWS = 17
+# frustum-row layout ([16, n_blocks] f32 scalar-prefetch, _block_frustum)
+FR_OMIN, FR_OMAX, FR_IMIN, FR_IMAX = 0, 3, 6, 9
+FR_TLIM, FR_LIVE = 12, 13
+FR_ROWS = 16
+
+
+def _frustum_hit(boxes_ref, frs, nd, tlim):
+    """Conservative scalar slab test: can ANY ray in the block's frustum
+    (origin box x inverse-direction interval) hit node `nd` before tlim?
+    ~70 scalar ops, fully overlapped with vector work by the scalar core.
+    `frs` carries the block's 12 frustum scalars as hoisted VALUES — a
+    per-node SMEM re-read of them measured ~40% of the walk.
+
+    r5 tightening: on top of the interval products, every axis contributes
+    the ANY-SIGN distance lower bound t >= max(bmin - omax, omin - bmax, 0)
+    (directions are unit length so |d_a| <= 1). For a sign-MIXED axis the
+    interval test's lower bound collapses to ~0 (products span -inf..inf)
+    while the distance bound still prunes — measured 387 -> ~2xx visits per
+    bounce-1 block (tools/subfrustum_sim.py block_main)."""
+    tn = jnp.float32(0.0)
+    tf = jnp.float32(BIG)
+    for a in range(3):
+        om_lo, om_hi, i_lo, i_hi = frs[a]
+        u1 = boxes_ref[a, nd] - om_hi        # (bmin - o) interval
+        v1 = boxes_ref[a, nd] - om_lo
+        u2 = boxes_ref[3 + a, nd] - om_hi    # (bmax - o) interval
+        v2 = boxes_ref[3 + a, nd] - om_lo
+        p = (u1 * i_lo, u1 * i_hi, v1 * i_lo, v1 * i_hi,
+             u2 * i_lo, u2 * i_hi, v2 * i_lo, v2 * i_hi)
+        lo = jnp.minimum(jnp.minimum(jnp.minimum(p[0], p[1]),
+                                     jnp.minimum(p[2], p[3])),
+                         jnp.minimum(jnp.minimum(p[4], p[5]),
+                                     jnp.minimum(p[6], p[7])))
+        hi = jnp.maximum(jnp.maximum(jnp.maximum(p[0], p[1]),
+                                     jnp.maximum(p[2], p[3])),
+                         jnp.maximum(jnp.maximum(p[4], p[5]),
+                                     jnp.maximum(p[6], p[7])))
+        # any-direction-sign axis distance: u1 = bmin - omax (node above
+        # the origin box), -v2 = omin - bmax (node below)
+        tn = jnp.maximum(tn, jnp.maximum(lo, jnp.maximum(u1, -v2)))
+        tf = jnp.minimum(tf, hi)
+    return (tf >= tn) & (tn < tlim)
+
+
+def _make_next_leaf(boxes_ref, meta_ref, fr_ref, b, stack, n_nodes):
+    """Scalar stack walk: pop until a frustum-hit leaf is found (returns its
+    node id) or the stack empties (returns -1). Children are pushed far-
+    first so the near child (by direction sign on the node's split axis)
+    pops first — the reference's ordered traversal (bvh.cpp:258-302)."""
+    # hoist the block's frustum scalars + per-axis near-child signs once
+    frs = tuple((fr_ref[FR_OMIN + a, b], fr_ref[FR_OMAX + a, b],
+                 fr_ref[FR_IMIN + a, b], fr_ref[FR_IMAX + a, b])
+                for a in range(3))
+    near_left_ax = [(frs[a][2] + frs[a][3] >= 0.0).astype(jnp.int32)
+                    for a in range(3)]
+    # near_left by split axis as a 3-bit scalar (axis lookup = 2 shifts)
+    nl_bits = (near_left_ax[0] | (near_left_ax[1] << 1)
+               | (near_left_ax[2] << 2))
+
+    def next_leaf(sp, tlim):
+        def cond(c):
+            sp_, leaf = c
+            return (leaf < 0) & (sp_ > 0)
+
+        def body(c):
+            sp_, _ = c
+            nd = stack[sp_ - 1]
+            sp_ = sp_ - 1
+            hit = _frustum_hit(boxes_ref, frs, nd, tlim)
+            is_leaf = meta_ref[1, nd] >= 0
+            leaf = jnp.where(hit & is_leaf, nd, -1)
+            push = hit & ~is_leaf
+
+            @pl.when(push)
+            def _():
+                right = meta_ref[2, nd]
+                axis = meta_ref[3, nd]
+                near_left = ((nl_bits >> axis) & 1) != 0
+                stack[sp_] = jnp.where(near_left, right, nd + 1)      # far
+                stack[sp_ + 1] = jnp.where(near_left, nd + 1, right)  # near
+
+            return jnp.where(push, sp_ + 2, sp_), leaf
+
+        return jax.lax.while_loop(cond, body, (sp, jnp.int32(-1)))
+    return next_leaf
+
+
+def _lane_slab(boxes_ref, nd, o8, i8, best8):
+    """Per-lane leaf AABB test in the [NSUB, SUB] sub-packet layout (full
+    VPU utilization: sublane = sub-packet). Returns candidate mask."""
+    (ox, oy, oz), (ix, iy, iz) = o8, i8
+    t0x = (boxes_ref[0, nd] - ox) * ix
+    t1x = (boxes_ref[3, nd] - ox) * ix
+    t0y = (boxes_ref[1, nd] - oy) * iy
+    t1y = (boxes_ref[4, nd] - oy) * iy
+    t0z = (boxes_ref[2, nd] - oz) * iz
+    t1z = (boxes_ref[5, nd] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.minimum(t0y, t1y)),
+                     jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    return (tf >= tn) & (tn < best8)
 
 
 def _sub_forms(bscratch_buf, xs):
@@ -126,140 +216,88 @@ def _sub_hits(forms, limit_row):
     return tm, tb
 
 
-RING = 4               # bmat-tile DMA pipeline depth
-BM_PERIOD = 8          # leaves between scalar best-bound refreshes
+import os
+
+RING = int(os.environ.get("LH2_RING", "4"))  # bmat-tile DMA pipeline depth
+BM_PERIOD = 8          # leaves between scalar best_max refreshes
 
 
-def _hoist_sub_frustum(fs_ref, base):
-    """Read sub-packet `base`'s 16 frustum scalars ONCE per walk (a per-node
-    SMEM re-read measured ~40% of the round-4 walk)."""
-    f = tuple(fs_ref[FS_F + a, base] for a in range(3))
-    om = tuple(fs_ref[FS_OMIN + a, base] for a in range(3))
-    ox = tuple(fs_ref[FS_OMAX + a, base] for a in range(3))
-    im = tuple(fs_ref[FS_IMIN + a, base] for a in range(3))
-    ix = tuple(fs_ref[FS_IMAX + a, base] for a in range(3))
-    tl0 = fs_ref[FS_TLIM, base]
-    # near-child-by-direction-sign bits (the reference's ordered traversal,
-    # bvh.cpp:258-302): flipped axes are positive by construction, so the
-    # sign of f IS the direction sign
-    nl_bits = ((f[0] >= 0.0).astype(jnp.int32)
-               | ((f[1] >= 0.0).astype(jnp.int32) << 1)
-               | ((f[2] >= 0.0).astype(jnp.int32) << 2))
-    return f, om, ox, im, ix, tl0, nl_bits
-
-
-def _make_sub_walk(boxes_ref, meta_ref, frs, stack):
-    """Per-sub-packet scalar walk: sign-uniform conservative slab test +
-    near-child-first explicit stack. Returns next_leaf(sp, tlim) ->
-    (sp', leaf id or -1)."""
-    f, om, ox, im, ix, _, nl_bits = frs
-
-    def sub_hit(nd, tlim):
-        # flipped-coordinate slab: all live directions are positive along
-        # every f=+-1 axis, so the conservative entry/exit bounds need one
-        # data-dependent select each. f=0 axes (mixed signs / axis-parallel)
-        # auto-degrade to tn=-inf / tf=+inf via the +-BIG frustum rows.
-        tn = jnp.float32(0.0)
-        tf = jnp.float32(BIG)
-        for a in range(3):
-            fb1 = f[a] * boxes_ref[a, nd]
-            fb2 = f[a] * boxes_ref[3 + a, nd]
-            bmn = jnp.minimum(fb1, fb2)
-            bmx = jnp.maximum(fb1, fb2)
-            u = bmn - ox[a]                    # nearest entry distance
-            v = bmx - om[a]                    # farthest exit distance
-            tn = jnp.maximum(tn, jnp.where(u >= 0.0, u * im[a], u * ix[a]))
-            tf = jnp.minimum(tf, jnp.where(v >= 0.0, v * ix[a], v * im[a]))
-        return (tf >= tn) & (tn < tlim)
-
-    def next_leaf(sp, tlim):
-        def cond(c):
-            sp_, leaf = c
-            return (leaf < 0) & (sp_ > 0)
-
-        def body(c):
-            sp_, _ = c
-            nd = stack[sp_ - 1]
-            sp_ = sp_ - 1
-            hit = sub_hit(nd, tlim)
-            is_leaf = meta_ref[1, nd] >= 0
-            leaf = jnp.where(hit & is_leaf, nd, -1)
-            push = hit & ~is_leaf
-
-            @pl.when(push)
-            def _():
-                right = meta_ref[2, nd]
-                axis = meta_ref[3, nd]
-                near_left = ((nl_bits >> axis) & 1) != 0
-                stack[sp_] = jnp.where(near_left, right, nd + 1)      # far
-                stack[sp_ + 1] = jnp.where(near_left, nd + 1, right)  # near
-
-            return jnp.where(push, sp_ + 2, sp_), leaf
-
-        return jax.lax.while_loop(cond, body, (sp, jnp.int32(-1)))
-
-    return next_leaf
+OUT_CODE, OUT_T, OUT_VISITS, OUT_SUBS = 0, 1, 2, 3
+OUT_ROWS = 8        # sublane-aligned compact kernel output
 
 
 def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
                          ablate: str = ""):
-    """Closest-hit kernel, two phases per block:
+    """Closest-hit kernel — traversal only (r5): scalar stack walk feeding a
+    RING-deep bmat DMA pipeline; per leaf one [NSUB,SUB] lane mask, then
+    masked per-sub-packet MXU intersection that records only (best t,
+    winner code = tile*128 + lane) per ray.
 
-    1. TRAVERSAL — 8 sequential per-sub-packet walks sharing one RING-deep
-       bmat DMA pipeline. Each visited leaf runs ONE unconditional MXU
-       intersection for its owning sub-packet and records (best t, winner
-       code = tile*128 + lane) per ray — a pure vector stream with zero
-       vector->scalar syncs in the loop body.
-    2. EXTRACTION — loop over the DISTINCT winning tiles (found by repeated
-       max over the code map): stream each tile's 72-row payload once
-       (double-buffered) and scatter it to that tile's winner lanes with a
-       one-hot matmul per participating sub-packet.
-    """
+    The kernel output is the COMPACT [OUT_ROWS, Nc] (code, t, stats) map.
+    The round-4 kernel extracted the winner's 72-row payload in-kernel
+    (per-distinct-tile DMA + one-hot matmuls); that phase measured ~44 ms
+    of bounce-1's 128.9 ms, while one XLA minor-axis gather
+    pack[:, code] materializing the same [72, N] payload measures 0.09 ms
+    (bandwidth-bound) — the round-3 'gather-bound shade' profile was the
+    per-field row-major pattern, not this one. Extraction now lives in
+    trace_cluster_bvh as that single gather."""
     tpc = tiles_per_cluster
 
-    def kernel(boxes_ref, meta_ref, fs_ref,   # scalar-prefetch (SMEM)
-               bmat_ref, pay_ref,             # ANY (HBM) tile stores
+    def kernel(boxes_ref, meta_ref, fr_ref,   # scalar-prefetch (SMEM)
+               bmat_ref,                      # ANY (HBM) tile store
                x_ref,                         # [8, Nc] rays
-               pay_out,                       # [PAY_ROWS, Nc]
-               bscratch, pscratch, best_ref, code_ref, ring, stack,
-               cnt_ref, mf_ref, bsem, psem):
+               out,                           # [OUT_ROWS, Nc]
+               bscratch, best_ref, code_ref, ring, stack,
+               cnt_ref, mf_ref, bsem):
 
         def bdma(t_idx, buf):
             return pltpu.make_async_copy(bmat_ref.at[t_idx],
                                          bscratch.at[buf], bsem.at[buf])
 
-        def pdma(t_idx, buf):
-            return pltpu.make_async_copy(pay_ref.at[t_idx],
-                                         pscratch.at[buf], psem.at[buf])
-
         def trace_block(b, _):
             c0 = pl.multiple_of(b * BLOCK, BLOCK)
             sl = (slice(None), pl.ds(c0, BLOCK))
-            rows = jax.lax.broadcasted_iota(jnp.int32, (PAY_ROWS, BLOCK), 0)
-            pay_out[sl] = jnp.where(rows == PAY_PRIM, -1.0, 0.0)
-            base0 = b * NSUB
-            nlive = jnp.float32(0.0)
-            for s in range(NSUB):
-                nlive = nlive + fs_ref[FS_LIVE, base0 + s]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, BLOCK), 0)
+            out[sl] = jnp.where(rows == OUT_CODE, -1.0, 0.0)
 
-            @pl.when(nlive > 0.0)
+            @pl.when(fr_ref[FR_LIVE, b] > 0.0)
             def _():
                 X = x_ref[sl]                                # [8, 1024]
+                o8 = tuple(X[c:c + 1].reshape(NSUB, SUB) for c in range(3))
+
+                def inv(dd):
+                    mag = jnp.maximum(jnp.abs(dd), 1e-18)
+                    return jnp.where(dd < 0, -1.0 / mag, 1.0 / mag)
+                i8 = tuple(inv(X[c:c + 1].reshape(NSUB, SUB))
+                           for c in range(3, 6))
                 best_ref[:, :] = X[7:8].reshape(NSUB, SUB)   # per-lane tmax
                 code_ref[:, :] = jnp.full((NSUB, SUB), -1.0, jnp.float32)
                 cnt_ref[0] = 0                               # sub-intersects
-                cnt_ref[1] = 0                               # leaf visits
+
+                next_leaf = _make_next_leaf(boxes_ref, meta_ref, fr_ref, b,
+                                            stack, n_nodes)
 
                 xsub = [X[:, s * SUB:(s + 1) * SUB] for s in range(NSUB)]
                 pow2 = jnp.left_shift(
                     jnp.int32(1),
                     jax.lax.broadcasted_iota(jnp.int32, (NSUB, 1), 0))
 
+                def sub_mask_bits(nd):
+                    """Per-lane leaf test packed into ONE scalar bitmask
+                    (bit s = sub-packet s has a candidate lane). A single
+                    vector->scalar transfer replaces the eight any() syncs
+                    that serialized the round-4a loop (measured ~3us/sub in
+                    context vs ~0.1us in isolation — the kernel was
+                    latency-bound on these syncs, not on work)."""
+                    lhit = _lane_slab(boxes_ref, nd, o8, i8, best_ref[:, :])
+                    row = jnp.any(lhit, axis=1, keepdims=True)   # [NSUB,1]
+                    return jnp.sum(jnp.where(row, pow2, 0))
+
                 def sub_body(s, t_idx, buf):
                     """One sub-packet intersection + UNCONDITIONAL winner
                     recording — pure vector stream, zero vector->scalar
-                    syncs, so the scalar core runs ahead and the VPU/MXU
-                    pipeline across leaves."""
+                    syncs, so the scalar core runs ahead and the VPU
+                    pipelines across sub-packets and leaves."""
                     forms = _sub_forms(bscratch.at[buf], xsub[s])
                     bs = best_ref[s:s + 1, :]
                     tm, tb = _sub_hits(forms, bs)
@@ -274,150 +312,98 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
                     best_ref[s:s + 1, :] = jnp.where(upd, tb, bs)
                     cnt_ref[0] = cnt_ref[0] + 1
 
-                # ---- phase 1: 8 per-sub walks, one shared DMA ring ------
-                for s in range(NSUB):
-                    @pl.when(fs_ref[FS_LIVE, base0 + s] > 0.0)
-                    def _(s=s):
-                        frs = _hoist_sub_frustum(fs_ref, base0 + s)
-                        next_leaf = _make_sub_walk(boxes_ref, meta_ref,
-                                                   frs, stack)
-                        stack[0] = jnp.int32(0)
-                        mf_ref[0] = frs[5]                   # sub tlim
-
-                        def fill_cond(c):
-                            sp, head, tail, wd = c
-                            return (wd == 0) & (head - tail < RING)
-
-                        def fill_body(c):
-                            sp, head, tail, wd = c
-                            sp, l = next_leaf(sp, mf_ref[0])
-
-                            @pl.when(l >= 0)
-                            def _():
-                                ring[head % RING] = l
-                                bdma(jnp.maximum(meta_ref[1, l], 0) * tpc,
-                                     head % RING).start()
-
-                            return (sp, jnp.where(l >= 0, head + 1, head),
-                                    tail, jnp.where(l < 0, 1, wd))
-
-                        def outer_cond(c):
-                            sp, head, tail, wd = c
-                            return (head > tail) | (wd == 0)
-
-                        def outer_body(c):
-                            c = jax.lax.while_loop(fill_cond, fill_body, c)
-                            sp, head, tail, wd = c
-                            nd = jnp.clip(ring[tail % RING], 0, n_nodes - 1)
-                            t0i = jnp.maximum(meta_ref[1, nd], 0) * tpc
-                            buf = tail % RING
-                            bdma(t0i, buf).wait()
-                            if ablate != "walk":   # dev attribution only
-                                sub_body(s, t0i, buf)
-                                if tpc > 1:        # fat clusters: extra tiles
-                                    def tile_body(j, _):
-                                        bdma(t0i + j, buf).start()
-                                        bdma(t0i + j, buf).wait()
-                                        sub_body(s, t0i + j, buf)
-                                        return 0
-                                    jax.lax.fori_loop(1, tpc, tile_body, 0)
-                            tail = tail + 1
-                            # refresh the walk's best-t bound periodically
-                            # through an SMEM cell — an unconditional
-                            # jnp.max would put a vector->scalar stall at
-                            # the end of EVERY leaf's dependency chain
-                            @pl.when(tail % BM_PERIOD == 0)
-                            def _():
-                                mf_ref[0] = jnp.max(best_ref[s:s + 1, :])
-
-                            return (sp, head, tail, wd)
-
-                        _, _, tail, _ = jax.lax.while_loop(
-                            outer_cond, outer_body,
-                            (jnp.int32(1), jnp.int32(0), jnp.int32(0),
-                             jnp.int32(0)))
-                        cnt_ref[1] = cnt_ref[1] + tail
-
-                # ---- phase 2: payload extraction per winning tile ------
-                # static double-buffer phases (2 tiles per loop iteration;
-                # a dynamic pscratch.at[phase] on top of the dynamic output
-                # slice costs a per-call operand copy — same measurement as
-                # _sub_forms); the next-max code threads through SMEM so
-                # the second half-step can be branch-guarded
-                code_snap = code_ref[:, :]                    # [NSUB, SUB]
-                m0 = jnp.max(code_snap)
-                if ablate in ("walk", "noextract"):
-                    m0 = jnp.float32(-1.0)        # dev attribution only
-
-                def tile_of(m):
-                    return jnp.floor_divide(m, float(SUB)).astype(jnp.int32)
-
-                @pl.when(m0 >= 0.0)
-                def _():
-                    pdma(tile_of(m0), 0).start()
-
-                def extract_step(m, phase):
-                    """Extract tile(m) from pscratch[phase] (static phase);
-                    prefetches the next winning tile into the other buffer.
-                    Returns the next code max. Sub-packet participation is
-                    one packed bitmask transfer (not 8 any() syncs)."""
-                    tile = tile_of(m)
-                    lo = (tile * SUB).astype(jnp.float32)
-                    cur8 = ((code_ref[:, :] >= lo)
-                            & (code_ref[:, :] < lo + float(SUB)))
-                    code_ref[:, :] = jnp.where(cur8, -1.0, code_ref[:, :])
-                    m2 = jnp.max(code_ref[:, :])
-                    bits = jnp.sum(jnp.where(
-                        jnp.any(cur8, axis=1, keepdims=True), pow2, 0))
-
-                    @pl.when(m2 >= 0.0)
-                    def _():
-                        pdma(tile_of(m2), 1 - phase).start()
-
-                    pdma(tile, phase).wait()
+                def intersect_tile(t_idx, buf, bits):
                     for s in range(NSUB):
                         @pl.when(((bits >> s) & 1) != 0)
                         def _(s=s):
-                            srow = cur8[s:s + 1, :]
-                            lane = (code_snap[s:s + 1, :] - lo).astype(
-                                jnp.int32)                      # [1, SUB]
-                            ri = jax.lax.broadcasted_iota(
-                                jnp.int32, (CLUSTER_LANES, SUB), 0)
-                            S = ((ri == lane) & srow).astype(jnp.float32)
-                            p_new = jax.lax.dot_general(
-                                pscratch.at[phase][:], S,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=_PREC)       # [PAY_ROWS, SUB]
-                            psl = (slice(None), pl.ds(c0 + s * SUB, SUB))
-                            pay_out[psl] = jnp.where(srow, p_new,
-                                                     pay_out[psl])
-                    return m2
+                            sub_body(s, t_idx, buf)
 
-                def x_cond(c):
-                    return c[0] >= 0.0
+                # ---- phase 1: ring-pipelined traversal -----------------
+                stack[0] = jnp.int32(0)
+                tlim0 = fr_ref[FR_TLIM, b]
 
-                def x_body(c):
-                    m, nt = c
-                    m2 = extract_step(m, 0)
-                    mf_ref[0] = m2
+                def fill_cond(c):
+                    sp, head, tail, wd, bm = c
+                    return (wd == 0) & (head - tail < RING)
 
-                    @pl.when(m2 >= 0.0)
+                def fill_body(c):
+                    sp, head, tail, wd, bm = c
+                    sp, l = next_leaf(sp, bm)
+
+                    @pl.when(l >= 0)
                     def _():
-                        mf_ref[0] = extract_step(m2, 1)
+                        ring[head % RING] = l
+                        bdma(jnp.maximum(meta_ref[1, l], 0) * tpc,
+                             head % RING).start()
 
-                    return (mf_ref[0], nt + 2)
+                    return (sp, jnp.where(l >= 0, head + 1, head), tail,
+                            jnp.where(l < 0, 1, wd), bm)
 
-                _, n_tiles = jax.lax.while_loop(
-                    x_cond, x_body, (m0, jnp.int32(0)))
+                def outer_cond(c):
+                    sp, head, tail, wd, bm = c
+                    return (head > tail) | (wd == 0)
 
-                # per-lane best t -> PAY_VALID row; per-block debug counters
-                pay_out[(pl.ds(PAY_VALID, 1), pl.ds(c0, BLOCK))] = \
+                def process_one(nd, buf, bits):
+                    t0i = jnp.maximum(meta_ref[1, nd], 0) * tpc
+                    bdma(t0i, buf).wait()
+                    if ablate != "walk":           # dev attribution only
+                        intersect_tile(t0i, buf, bits)
+                    if tpc > 1:          # fat clusters: extra tiles, sync
+                        def tile_body(j, _):
+                            bdma(t0i + j, buf).start()
+                            bdma(t0i + j, buf).wait()
+                            intersect_tile(t0i + j, buf, bits)
+                            return 0
+                        jax.lax.fori_loop(1, tpc, tile_body, 0)
+
+                def outer_body(c):
+                    c = jax.lax.while_loop(fill_cond, fill_body, c)
+                    sp, head, tail, wd, bm = c
+                    n_avail = head - tail
+                    # TWO leaves per iteration: their mask chains are
+                    # independent and their bit transfers batch, so the
+                    # vector pipeline stays fed across the branch points.
+                    # The second leaf's mask uses the pre-first-leaf best
+                    # (conservative superset; the sub intersects re-check
+                    # against the fresh best rows)
+                    ndA = jnp.clip(ring[tail % RING], 0, n_nodes - 1)
+                    ndB = jnp.clip(ring[(tail + 1) % RING], 0, n_nodes - 1)
+                    bitsA = sub_mask_bits(ndA)
+                    bitsB = sub_mask_bits(ndB)
+
+                    @pl.when(n_avail >= 1)
+                    def _():
+                        process_one(ndA, tail % RING, bitsA)
+
+                    @pl.when(n_avail >= 2)
+                    def _():
+                        process_one(ndB, (tail + 1) % RING, bitsB)
+
+                    tail = tail + jnp.minimum(n_avail, 2)
+                    # refresh the scalar walk bound periodically through an
+                    # SMEM cell — an unconditional jnp.max would put a
+                    # vector->scalar stall at the end of EVERY iteration's
+                    # dependency chain (the measured round-4a bottleneck)
+                    @pl.when(tail % BM_PERIOD < 2)
+                    def _():
+                        mf_ref[0] = jnp.max(best_ref[:, :])
+
+                    return (sp, head, tail, wd, mf_ref[0])
+
+                mf_ref[0] = tlim0
+                _, _, tail, _, _ = jax.lax.while_loop(
+                    outer_cond, outer_body,
+                    (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                     tlim0))
+
+                # compact result rows: winner codes, best t, debug counters
+                out[(pl.ds(OUT_CODE, 1), pl.ds(c0, BLOCK))] = \
+                    code_ref[:, :].reshape(1, BLOCK)
+                out[(pl.ds(OUT_T, 1), pl.ds(c0, BLOCK))] = \
                     best_ref[:, :].reshape(1, BLOCK)
-                pay_out[(pl.ds(PAY_STAT_VISITS, 1), pl.ds(c0, BLOCK))] = \
-                    jnp.full((1, BLOCK),
-                             (cnt_ref[1] * tpc).astype(jnp.float32))
-                pay_out[(pl.ds(PAY_STAT_SUBS, 1), pl.ds(c0, BLOCK))] = \
+                out[(pl.ds(OUT_VISITS, 1), pl.ds(c0, BLOCK))] = \
+                    jnp.full((1, BLOCK), (tail * tpc).astype(jnp.float32))
+                out[(pl.ds(OUT_SUBS, 1), pl.ds(c0, BLOCK))] = \
                     jnp.full((1, BLOCK), cnt_ref[0].astype(jnp.float32))
             return 0
 
@@ -426,108 +412,117 @@ def _make_closest_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int,
 
 
 def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
-    """Any-hit (occlusion) kernel: same 8 per-sub-packet walks; each leaf
-    runs the owning sub's MXU test and ORs into the occlusion row. The
-    walk's bound shrinks to the farthest still-unoccluded lane of the SUB
-    (TERMINATE_ON_FIRST_HIT analog, refreshed through SMEM every BM_PERIOD
-    leaves) — a fully occluded sub-packet prunes every remaining node and
-    drains its stack in a few scalar pops."""
     tpc = tiles_per_cluster
 
-    def kernel(boxes_ref, meta_ref, fs_ref, bmat_ref, x_ref, occ_out,
-               bscratch, occ_ref, ring, stack, om_ref, bsem):
+    def kernel(boxes_ref, meta_ref, fr_ref, bmat_ref, x_ref, occ_out,
+               bscratch, occ_ref, stack, om_ref, bsem):
 
-        def bdma(t_idx, buf):
-            return pltpu.make_async_copy(bmat_ref.at[t_idx],
-                                         bscratch.at[buf], bsem.at[buf])
+        def start_dma(nd, t_off, buf):
+            cid = jnp.maximum(meta_ref[1, nd], 0)
+            pltpu.make_async_copy(bmat_ref.at[cid * tpc + t_off],
+                                  bscratch.at[buf], bsem.at[buf]).start()
+
+        def wait_dma(nd, t_off, buf):
+            cid = jnp.maximum(meta_ref[1, nd], 0)
+            pltpu.make_async_copy(bmat_ref.at[cid * tpc + t_off],
+                                  bscratch.at[buf], bsem.at[buf]).wait()
 
         def trace_block(b, _):
             c0 = pl.multiple_of(b * BLOCK, BLOCK)
             sl = (slice(None), pl.ds(c0, BLOCK))
             occ_out[(pl.ds(0, 1), pl.ds(c0, BLOCK))] = jnp.zeros(
                 (1, BLOCK), jnp.float32)
-            base0 = b * NSUB
-            nlive = jnp.float32(0.0)
-            for s in range(NSUB):
-                nlive = nlive + fs_ref[FS_LIVE, base0 + s]
 
-            @pl.when(nlive > 0.0)
+            @pl.when(fr_ref[FR_LIVE, b] > 0.0)
             def _():
                 X = x_ref[sl]
+                o8 = tuple(X[c:c + 1].reshape(NSUB, SUB) for c in range(3))
+
+                def inv(dd):
+                    mag = jnp.maximum(jnp.abs(dd), 1e-18)
+                    return jnp.where(dd < 0, -1.0 / mag, 1.0 / mag)
+                i8 = tuple(inv(X[c:c + 1].reshape(NSUB, SUB))
+                           for c in range(3, 6))
                 tmax8 = X[7:8].reshape(NSUB, SUB)
                 # occluded-or-dead as f32 0/1 (i1 vectors fail Mosaic
                 # legalization in loop-carried positions)
                 occ_ref[:, :] = (tmax8 <= 0.0).astype(jnp.float32)
+
+                next_leaf = _make_next_leaf(boxes_ref, meta_ref, fr_ref, b,
+                                            stack, n_nodes)
                 xsub = [X[:, s * SUB:(s + 1) * SUB] for s in range(NSUB)]
+                pow2 = jnp.left_shift(
+                    jnp.int32(1),
+                    jax.lax.broadcasted_iota(jnp.int32, (NSUB, 1), 0))
 
-                for s in range(NSUB):
-                    @pl.when(fs_ref[FS_LIVE, base0 + s] > 0.0)
-                    def _(s=s):
-                        frs = _hoist_sub_frustum(fs_ref, base0 + s)
-                        next_leaf = _make_sub_walk(boxes_ref, meta_ref,
-                                                   frs, stack)
-                        stack[0] = jnp.int32(0)
-                        om_ref[0] = frs[5]                   # sub tlim
-                        ts = tmax8[s:s + 1, :]
-
-                        def fill_cond(c):
-                            sp, head, tail, wd = c
-                            return (wd == 0) & (head - tail < RING)
-
-                        def fill_body(c):
-                            sp, head, tail, wd = c
-                            sp, l = next_leaf(sp, om_ref[0])
-
-                            @pl.when(l >= 0)
-                            def _():
-                                ring[head % RING] = l
-                                bdma(jnp.maximum(meta_ref[1, l], 0) * tpc,
-                                     head % RING).start()
-
-                            return (sp, jnp.where(l >= 0, head + 1, head),
-                                    tail, jnp.where(l < 0, 1, wd))
-
-                        def outer_cond(c):
-                            sp, head, tail, wd = c
-                            return (head > tail) | (wd == 0)
-
-                        def intersect(t_idx, buf):
+                def process_tile(nd, buf, k, bm):
+                    live8 = occ_ref[:, :] < 0.5
+                    lhit = _lane_slab(boxes_ref, nd, o8, i8,
+                                      jnp.where(live8, tmax8, 0.0))
+                    # one packed bitmask transfer instead of 8 any() syncs
+                    # (same latency fix as the closest kernel)
+                    bits = jnp.sum(jnp.where(
+                        jnp.any(lhit, axis=1, keepdims=True), pow2, 0))
+                    for s in range(NSUB):
+                        @pl.when(((bits >> s) & 1) != 0)
+                        def _(s=s):
                             forms = _sub_forms(bscratch.at[buf], xsub[s])
-                            live_row = occ_ref[s:s + 1, :] < 0.5
-                            _, tb = _sub_hits(
-                                forms, jnp.where(live_row, ts, 0.0))
+                            ts = tmax8[s:s + 1, :]
+                            _, tb = _sub_hits(forms, ts)
                             occ_ref[s:s + 1, :] = jnp.maximum(
                                 occ_ref[s:s + 1, :],
                                 (tb < ts).astype(jnp.float32))
+                    # fire-and-forget: the traversal bound shrinks to the
+                    # farthest still-unoccluded lane (TERMINATE_ON_FIRST_HIT
+                    # analog) — refreshed every BM_PERIOD leaves through an
+                    # SMEM cell (a per-leaf vector->scalar stall at the end
+                    # of the chain was the measured bottleneck)
+                    @pl.when(k % BM_PERIOD == 0)
+                    def _():
+                        om_ref[0] = jnp.max(jnp.where(occ_ref[:, :] < 0.5,
+                                                      tmax8, 0.0))
 
-                        def outer_body(c):
-                            c = jax.lax.while_loop(fill_cond, fill_body, c)
-                            sp, head, tail, wd = c
-                            nd = jnp.clip(ring[tail % RING], 0, n_nodes - 1)
-                            t0i = jnp.maximum(meta_ref[1, nd], 0) * tpc
-                            buf = tail % RING
-                            bdma(t0i, buf).wait()
-                            intersect(t0i, buf)
-                            if tpc > 1:
-                                def tile_body(j, _):
-                                    bdma(t0i + j, buf).start()
-                                    bdma(t0i + j, buf).wait()
-                                    intersect(t0i + j, buf)
-                                    return 0
-                                jax.lax.fori_loop(1, tpc, tile_body, 0)
-                            tail = tail + 1
+                    return om_ref[0]
 
-                            @pl.when(tail % BM_PERIOD == 0)
-                            def _():
-                                om_ref[0] = jnp.max(jnp.where(
-                                    occ_ref[s:s + 1, :] < 0.5, ts, 0.0))
+                stack[0] = jnp.int32(0)
+                tlim0 = fr_ref[FR_TLIM, b]
+                om_ref[0] = tlim0
+                sp, l0 = next_leaf(jnp.int32(1), tlim0)
 
-                            return (sp, head, tail, wd)
+                @pl.when(l0 >= 0)
+                def _():
+                    start_dma(l0, 0, 0)
 
-                        jax.lax.while_loop(
-                            outer_cond, outer_body,
-                            (jnp.int32(1), jnp.int32(0), jnp.int32(0),
-                             jnp.int32(0)))
+                def cond(c):
+                    return (c[0] >= 0) & (c[3] > 0.0)
+
+                def body(c):
+                    l0, sp, phase, bm, k = c
+                    sp, l1 = next_leaf(sp, bm)
+
+                    @pl.when(l1 >= 0)
+                    def _():
+                        start_dma(l1, 0, 1 - phase)
+
+                    wait_dma(l0, 0, phase)
+                    bm = process_tile(l0, phase, k, bm)
+                    if tpc > 1:
+                        def tile_body(j, bm):
+                            start_dma(l0, j, phase)
+                            wait_dma(l0, j, phase)
+                            return process_tile(l0, phase, j, bm)
+                        bm = jax.lax.fori_loop(1, tpc, tile_body, bm)
+                    return (l1, sp, 1 - phase, bm, k + 1)
+
+                lx, _, px, _, _ = jax.lax.while_loop(
+                    cond, body, (l0, sp, jnp.int32(0), tlim0, jnp.int32(0)))
+
+                # the all-occluded early exit can leave l0's prefetch in
+                # flight — drain it or the semaphore pairs with the wrong
+                # copy in the next block
+                @pl.when(lx >= 0)
+                def _():
+                    wait_dma(lx, 0, px)
 
                 occ_out[(pl.ds(0, 1), pl.ds(c0, BLOCK))] = jnp.where(
                     tmax8 > 0.0, occ_ref[:, :], 0.0).reshape(1, BLOCK)
@@ -537,62 +532,42 @@ def _make_anyhit_kernel(n_nodes: int, tiles_per_cluster: int, n_blocks: int):
     return kernel
 
 
-def _sub_frustums(x, n_blocks):
-    """Per-SUB-PACKET conservative frustum rows [FS_ROWS, n_blocks*NSUB] in
-    sign-uniform FLIPPED coordinates for the kernel's scalar walks.
-
-    Per axis a and 128-lane sub-packet:
-      f    = +1 if every live lane's direction is positive, -1 if every one
-             is negative, 0 if mixed (or the sub is dead) — the kernel
-             mirrors the node box by f so directions are always positive;
-      omin/omax = bounds of the FLIPPED origins (f*o) over live lanes;
-      imin/imax = bounds of |1/d| over live lanes;
-      f=0 axes carry (omin,omax,imin,imax)=(-BIG,+BIG,0,BIG) which make the
-      slab test tn=-inf, tf=+inf — conservatively no pruning on that axis.
-    Row FS_TLIM = max live tmax (walk bound seed), FS_LIVE = any live lane.
-    Dead lanes (tmax<=0) are excluded from every bound."""
-    xs = x.reshape(8, n_blocks, NSUB, SUB)
-    o = xs[0:3]
-    d = xs[3:6]
-    tmax = xs[7]
-    live = tmax > 0.0                                  # [nb, NSUB, SUB]
-    lv3 = live[None]
+def _block_frustum(x, n_blocks):
+    """Per-block conservative frustum rows [FR_ROWS, n_blocks] for the
+    kernel's scalar walk: origin box, inverse-direction interval (clamped to
+    +-1e18 so interval products never hit inf*0=NaN), max live tmax, live
+    flag. Dead lanes (tmax<=0) are excluded from every bound."""
+    xb = x.reshape(8, n_blocks, BLOCK)
+    o = xb[0:3]
+    d = xb[3:6]
+    tmax = xb[7]
+    live = tmax > 0.0
     mag = jnp.maximum(jnp.abs(d), 1e-18)
     inv = jnp.where(d < 0, -1.0 / mag, 1.0 / mag)
-    has_pos = jnp.any(lv3 & (inv > 0), -1)             # [3, nb, NSUB]
-    has_neg = jnp.any(lv3 & (inv < 0), -1)
-    f = jnp.where(has_pos & ~has_neg, 1.0,
-                  jnp.where(has_neg & ~has_pos, -1.0, 0.0))
-    mixed = f == 0.0
-    fo = f[..., None] * o                              # flipped origins
-    omin = jnp.min(jnp.where(lv3, fo, BIG), -1)
-    omax = jnp.max(jnp.where(lv3, fo, -BIG), -1)
-    omin = jnp.where(mixed, -BIG, omin)
-    omax = jnp.where(mixed, BIG, omax)
-    ainv = jnp.abs(inv)
-    imin = jnp.min(jnp.where(lv3, ainv, BIG), -1)
-    imax = jnp.max(jnp.where(lv3, ainv, -BIG), -1)
-    imin = jnp.where(mixed, 0.0, imin)
-    imax = jnp.where(mixed, BIG, imax)
-    tlim = jnp.max(jnp.where(live, tmax, 0.0), -1)     # [nb, NSUB]
-    lvf = jnp.any(live, -1).astype(jnp.float32)
-    rows = jnp.concatenate(
-        [f, omin, omax, imin, imax, tlim[None], lvf[None]], axis=0)
-    return rows.reshape(FS_ROWS, n_blocks * NSUB)
+    omin = jnp.min(jnp.where(live[None], o, BIG), axis=-1)
+    omax = jnp.max(jnp.where(live[None], o, -BIG), axis=-1)
+    imin = jnp.min(jnp.where(live[None], inv, BIG), axis=-1)
+    imax = jnp.max(jnp.where(live[None], inv, -BIG), axis=-1)
+    tlim = jnp.max(jnp.where(live, tmax, 0.0), axis=-1)
+    lv = jnp.any(live, axis=-1).astype(jnp.float32)
+    pad = jnp.zeros_like(tlim)
+    return jnp.concatenate([omin, omax, imin, imax, tlim[None], lv[None],
+                            pad[None], pad[None]], axis=0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_nodes", "tiles_per_cluster", "anyhit",
                                     "stack_cap", "interpret", "ablate"))
-def _trace_chunk(boxes, meta, bmat, pay, x,
+def _trace_chunk(boxes, meta, bmat, x,
                  n_nodes: int, tiles_per_cluster: int, anyhit: bool,
                  stack_cap: int = 128, interpret: bool = False,
                  ablate: str = ""):
-    """One pallas launch over an [8, Nc] ray tile. Returns the [PAY_ROWS, Nc]
-    payload (closest; row PAY_VALID = best t) or [1, Nc] occlusion (anyhit)."""
+    """One pallas launch over an [8, Nc] ray tile. Returns the compact
+    [OUT_ROWS, Nc] (code, t, stats) map (closest) or [1, Nc] occlusion
+    (anyhit)."""
     nc = x.shape[1]
     n_blocks = nc // BLOCK
-    fs = _sub_frustums(x, n_blocks)
+    fr = _block_frustum(x, n_blocks)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     if anyhit:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -601,45 +576,40 @@ def _trace_chunk(boxes, meta, bmat, pay, x,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), vm()],
             out_specs=[vm()],
             scratch_shapes=[
-                pltpu.VMEM((RING, 8, BMAT_COLS), jnp.float32),
+                pltpu.VMEM((2, 8, BMAT_COLS), jnp.float32),
                 pltpu.VMEM((NSUB, SUB), jnp.float32),
-                pltpu.SMEM((RING,), jnp.int32),              # leaf ring
                 pltpu.SMEM((stack_cap,), jnp.int32),
                 pltpu.SMEM((1,), jnp.float32),               # occ bound
-                pltpu.SemaphoreType.DMA((RING,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         kernel = _make_anyhit_kernel(n_nodes, tiles_per_cluster, n_blocks)
         out_shape = [jax.ShapeDtypeStruct((1, nc), jnp.float32)]
         return pl.pallas_call(kernel, grid_spec=grid_spec,
                               out_shape=out_shape,
-                              interpret=interpret)(boxes, meta, fs, bmat,
+                              interpret=interpret)(boxes, meta, fr, bmat,
                                                    x)[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY), vm()],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), vm()],
         out_specs=[vm()],
         scratch_shapes=[
             pltpu.VMEM((RING, 8, BMAT_COLS), jnp.float32),   # bmat ring
-            pltpu.VMEM((2, PAY_ROWS, CLUSTER_LANES), jnp.float32),
             pltpu.VMEM((NSUB, SUB), jnp.float32),            # best t
             pltpu.VMEM((NSUB, SUB), jnp.float32),            # winner code
             pltpu.SMEM((RING,), jnp.int32),                  # leaf ring
             pltpu.SMEM((stack_cap,), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),                     # sub/visit ctrs
-            pltpu.SMEM((1,), jnp.float32),                   # walk/x bound
+            pltpu.SMEM((1,), jnp.int32),                     # sub counter
+            pltpu.SMEM((1,), jnp.float32),                   # walk bound
             pltpu.SemaphoreType.DMA((RING,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = _make_closest_kernel(n_nodes, tiles_per_cluster, n_blocks,
                                   ablate=ablate)
-    out_shape = [jax.ShapeDtypeStruct((PAY_ROWS, nc), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((OUT_ROWS, nc), jnp.float32)]
     return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
-                          interpret=interpret)(boxes, meta, fs, bmat, pay,
-                                               x)[0]
+                          interpret=interpret)(boxes, meta, fr, bmat, x)[0]
 
 
 def bake_material_rows(cbvh: ClusterBVH, mpack22):
@@ -684,9 +654,6 @@ def ray_sort_perm(o, d, t_max, bvh: ClusterBVH, key: str = "dir"):
     key="origin_octant": fine origin morton (4 bits/axis) then direction
                 octant — for rays whose origins spread (shadow batches
                 toward many lights).
-    Both keys also make per-sub-packet direction SIGNS uniform, which the
-    r5 walk's flipped slab test requires for pruning (a mixed-sign axis
-    prunes nothing).
     Returns (perm, inv_perm) int32 [N]."""
     bmin = bvh.boxes[0:3, 0]                     # root node box
     bmax = bvh.boxes[3:6, 0]
@@ -715,16 +682,19 @@ def ray_sort_perm(o, d, t_max, bvh: ClusterBVH, key: str = "dir"):
 
 
 def prepare_pay_tiles(bvh: ClusterBVH, paym):
-    """Concatenate the host-baked geometry payload with the device-baked
-    material rows ONCE per pass — the bounce loop then reuses the buffer
-    (bake + concat were measured at ~12 ms/pass when re-emitted per bounce,
-    STAGE_TIMES_r03.json)."""
+    """Build the FLAT payload pack [PAY_ROWS, CT*128] — host-baked geometry
+    rows + device-baked material rows — ONCE per pass; the bounce loop
+    reuses the buffer. The kernel's winner code (tile*128 + lane) indexes
+    its columns directly: payload = pack[:, code], one minor-axis XLA
+    gather per bounce (measured 0.09 ms for [72, 262k] — see
+    _make_closest_kernel docstring)."""
     if paym is None:
         paym = jnp.zeros((bvh.pgeo.shape[0], PAY_MAT_ROWS, CLUSTER_LANES),
                          jnp.float32)
-    return jnp.concatenate(
+    tiles = jnp.concatenate(
         [jax.lax.stop_gradient(bvh.pgeo), jax.lax.stop_gradient(paym)],
         axis=1)                                            # [CT, 72, 128]
+    return jnp.swapaxes(tiles, 0, 1).reshape(PAY_ROWS, -1)  # [72, CT*128]
 
 
 def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
@@ -762,7 +732,7 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
 
     if anyhit:
         fn = functools.partial(
-            _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, None,
+            _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat,
             n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
             anyhit=True, stack_cap=stack_cap, interpret=interpret)
         if n_chunks == 1:
@@ -777,20 +747,29 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
     if pay_tiles is None:
         pay_tiles = prepare_pay_tiles(bvh, paym)
     fn = functools.partial(
-        _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat, pay_tiles,
+        _trace_chunk, bvh.boxes, bvh.meta, bvh.bmat,
         n_nodes=bvh.n_nodes, tiles_per_cluster=bvh.tiles_per_cluster,
         anyhit=False, stack_cap=stack_cap, interpret=interpret,
         ablate=ablate)
     if n_chunks == 1:
-        payload = fn(x[0])
+        out = fn(x[0])
     else:
-        payload = jax.lax.map(fn, x)
-        payload = jnp.swapaxes(payload, 0, 1).reshape(PAY_ROWS, -1)
-    payload = payload[:, :n]
+        out = jax.lax.map(fn, x)
+        out = jnp.swapaxes(out, 0, 1).reshape(OUT_ROWS, -1)
+    out = out[:, :n]
     if inv is not None:
-        payload = payload[:, inv]
-    t = payload[PAY_VALID]               # best t rides in the VALID row slot
-    prim = payload[PAY_PRIM]
-    hit = prim >= 0.0
-    t = jnp.where(hit, t, jnp.broadcast_to(tmax, t.shape))
+        out = out[:, inv]
+    code = out[OUT_CODE]
+    hit = code >= 0.0
+    ci = jnp.where(hit, code, 0.0).astype(jnp.int32)
+    # the single payload fetch: winner code -> 72 attribute rows
+    payload = jnp.where(hit[None, :], pay_tiles[:, ci], 0.0)
+    payload = payload.at[PAY_PRIM].set(
+        jnp.where(hit, payload[PAY_PRIM], -1.0))
+    # contract parity with the in-kernel-extraction era: best t rides in
+    # the VALID row slot; stats rows broadcast the per-block counters
+    payload = payload.at[PAY_VALID].set(out[OUT_T])
+    payload = payload.at[PAY_STAT_VISITS].set(out[OUT_VISITS])
+    payload = payload.at[PAY_STAT_SUBS].set(out[OUT_SUBS])
+    t = jnp.where(hit, out[OUT_T], jnp.broadcast_to(tmax, hit.shape))
     return t, payload

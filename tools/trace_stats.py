@@ -70,10 +70,15 @@ def loop_trace(o, d, tmax0, sort, ablate=""):
 
 ABLATES = [a for a in os.environ.get("ABLATES", "").split(",")] \
     if os.environ.get("ABLATES") is not None else [""]
+ONLY = os.environ.get("ONLY", "")   # e.g. "bounce1:sorted,primary"
 out = {}
 for name, (o, d, aliveish) in rays.items():
     tm0 = jnp.where(aliveish, BIG_T, 0.0)
     for sort in ((False, True) if name != "primary" else (False,)):
+        if ONLY:
+            tag = f"{name}:{'sorted' if sort else 'unsorted'}"
+            if tag not in ONLY and name not in ONLY.split(","):
+                continue
         t, vis, subs = jax.block_until_ready(traced(o, d, tm0, sort))
         vis = np.asarray(vis)
         subs = np.asarray(subs)
