@@ -20,29 +20,44 @@ the whole frame):
      both junction BSDFs, geometry term, one batched visibility trace.
   3. s=0 strategies (implicit light hits) accumulate during the eye walk.
 
+  4. t=1 strategies (r5): every light vertex y_{s-1} additionally connects
+     to ONE sampled lens point and SPLATS into the pixel its projection
+     through the lens lands in (light tracing; the reference's
+     camera-connection machinery, core_settings.h:105-128 imagePlane /
+     camera pdfs). The camera importance/pdf uses the FILM measure
+     p_omega = f_ax^2/(A_film cos^3) (PBRT PerspectiveCamera::We
+     convention) in both the splat weight and every MIS chain, so all
+     strategies share one path measure; with wh*spp light paths per pass
+     and finalize's /spp the splats land unscaled.
+
 MIS: balance heuristic over the strategies this core actually samples.
 Veach's pdf-ratio recurrence (the reference's d-quantities) runs as a static
 loop over stored per-vertex forward/reverse area pdfs — delta vertices are
 remapped to 1 and their flanking strategies gated out, exactly the classic
 formulation. DELIBERATE SCOPE (documented deviations from the reference):
 
-  - no t=1 strategies (light tracing splats to the camera). Omitting a
-    strategy family from both the estimator and the MIS sum keeps the
-    estimator unbiased (every remaining path class is still sampled by
-    s=0/s>=1 strategies); it only raises variance for caustics seen
-    directly by the lens.
   - light subpaths start from area + point lights (the reference's BDPT
     likewise drives light paths from the tri-light tables); spot/dir
     lights contribute through the eye-walk strategies.
   - sky contributes via s=0 misses only (weight 1 — no other strategy
     samples the skydome).
+  - t=1 ignores barrel distortion, and delta-POSITION lights are not
+    splatted directly (cameras do not image delta lights; no other
+    strategy samples that 2-vertex class, so no MIS interaction exists).
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# debug: scale the t=1 (light tracing) splats; 0 disables the family while
+# keeping its MIS presence — used to bisect estimator-consistency failures
+_T1_SCALE = float(os.environ.get("BDPT_T1_SCALE", "1.0"))
+# debug: drop the t=1 family from the MIS chains too (the pre-r5 estimator)
+_T1_CHAINS = not os.environ.get("BDPT_NO_T1_CHAINS")
 
 from lighthouse2_tpu.core import rng as rng_mod
 from lighthouse2_tpu.core.geometry import dot, normalize, safe_origin
@@ -174,13 +189,17 @@ def _walk(scene, config: RenderConfig, bsdf_mod, o, d, beta, pdf_fwd1_sa,
 def _eye_ratio_chain(everts, j, pdf_rev_top, pdf_rev_top1, max_light, s_base):
     """Eye-side MIS sum for a junction at eye vertex everts[j] (= z_{t-1},
     t=j+2). Alternative strategies move k=1.. eye vertices to the light
-    side: term k <-> strategy (s_base+k, t-k), included iff t-k>=2 and
-    s_base+k <= max_light. pdf_rev_top/top1 are the junction-updated
-    reverse area pdfs of z_{t-1} / z_{t-2}."""
+    side: term k <-> strategy (s_base+k, t-k), included for t-k>=2 while
+    s_base+k <= max_light, plus the k=j+1 term <-> the LIGHT-TRACING
+    strategy (s_base+t-1, 1) — every surface vertex light-sampled, the
+    path ending on the lens (its camera vertex is shared by all
+    strategies, so its pdf cancels; z_1's own pdf_fwd is the camera-side
+    area pdf the eye walk now records). pdf_rev_top/top1 are the
+    junction-updated reverse area pdfs of z_{t-1} / z_{t-2}."""
     t = j + 2
     sum_ri = jnp.zeros_like(everts[j]["pdf_fwd"])
     ri = 1.0
-    for k in range(1, j + 1):              # deepest convertible: z_2 (t-k>=2)
+    for k in range(1, j + 2):              # k=j+1 <-> t'=1 (light tracing)
         # everts[m] == z_{m+1}; step k converts z_{t-k} == everts[j+1-k]
         zi = everts[j + 1 - k]
         if k == 1:
@@ -191,9 +210,14 @@ def _eye_ratio_chain(everts, j, pdf_rev_top, pdf_rev_top1, max_light, s_base):
             # walk-stored: rev pdf of z_{t-k} was computed at z_{t-k+1}
             rev = everts[j + 2 - k]["pdf_rev_prev"]
         ri = ri * _remap0(rev) / _remap0(zi["pdf_fwd"])
-        if t - k >= 2 and s_base + k <= max_light:
+        if s_base + k > max_light:
+            continue
+        if t - k >= 2:
             znew = everts[j - k]           # z_{t-k-1}, new eye endpoint
             gate = ~zi["delta"] & ~znew["delta"]
+            sum_ri = sum_ri + jnp.where(gate, ri, 0.0)
+        elif _T1_CHAINS:                   # t-k == 1: lens endpoint
+            gate = ~zi["delta"]
             sum_ri = sum_ri + jnp.where(gate, ri, 0.0)
     return sum_ri
 
@@ -241,8 +265,29 @@ def trace_paths_bdpt(scene, view: ViewPyramid, config: RenderConfig,
     paths = generate_eye_rays(view, config, sample_base)
     eseed = rng_mod.raygen_seed(paths["path_idx"] ^ jnp.uint32(0x9E3779B9),
                                 jnp.asarray(sample_base, jnp.uint32))
+    # camera measurement geometry (ViewPyramid.imagePlane analog,
+    # camera.cpp:111-115): the FILM-measure importance/pdf p_omega =
+    # f_ax^2 / (A_film cos^3 theta) (the plane spanned by p1/p2/p3 at axial
+    # distance f_ax; PBRT PerspectiveCamera::We convention). Using the full
+    # film area in BOTH z_1's forward pdf and the t=1 splat weight puts
+    # every strategy's pdf in one common measure, so the balance-heuristic
+    # ratios stay consistent while the splat bookkeeping (wh*spp light
+    # paths per pass, finalize divides by spp) lands each pixel's t=1
+    # component unscaled. Barrel distortion is ignored for t=1 (documented
+    # deviation).
+    right = view.p2 - view.p1
+    up = view.p3 - view.p1
+    plane_n = normalize(jnp.cross(right, up)[None])[0]
+    view_dir = (view.p1 + 0.5 * right + 0.5 * up) - view.pos
+    plane_n = plane_n * jnp.sign(dot(view_dir[None], plane_n[None])[0])
+    a_film = jnp.linalg.norm(jnp.cross(right, up))
+    f_ax = dot(view.p1[None] - paths["origin"],
+               jnp.broadcast_to(plane_n, paths["origin"].shape))
+    cos_eye = jnp.maximum(dot(paths["dir"], jnp.broadcast_to(
+        plane_n, paths["dir"].shape)), 1e-6)
+    p_omega_eye = (f_ax * f_ax) / (a_film * cos_eye ** 3)
     everts, emisses = _walk(scene, config, bsdf_mod, paths["origin"],
-                            paths["dir"], paths["throughput"], None,
+                            paths["dir"], paths["throughput"], p_omega_eye,
                             eseed, s_e, pay_tiles=pay_tiles)
 
     # ---- light subpath ------------------------------------------------------
@@ -407,10 +452,117 @@ def trace_paths_bdpt(scene, view: ViewPyramid, config: RenderConfig,
             acc = acc.at[:, :3].add(
                 jnp.where(ok[:, None], clamp(contrib * w_mis[:, None]), 0.0))
 
-    # per-path -> per-pixel
+    # ---- t=1 strategies: light tracing with lens splats ---------------------
+    # (the reference BDPT's camera-connection machinery,
+    # core_settings.h:105-128; the last documented strategy-family cut,
+    # VERDICT r4 #8). Each light vertex y_{s-1} connects to ONE lens point
+    # per lane (the eye sampler's aperture convention: the lens sample is
+    # not divided out — the measurement importance absorbs it exactly as
+    # for t>=2), projects through the lens onto the focal plane, and
+    # SPLATS into the landing pixel.
     wh = config.width * config.height
+    splat = jnp.zeros((wh, 3), jnp.float32)
+    lseed, ra = rng_mod.random_float(lseed)
+    lseed, rb = rng_mod.random_float(lseed)
+    # 9-bladed lens sample (generate_eye_rays parity, .optix.cu:52-64)
+    blade = jnp.floor(ra * 9.0)
+    r2b = (ra - blade * (1.0 / 9.0)) * 9.0
+    a1 = blade * (jnp.pi / 4.5)
+    a2 = (blade + 1.0) * (jnp.pi / 4.5)
+    bx1, by1 = jnp.sin(a1), jnp.cos(a1)
+    bx2, by2 = jnp.sin(a2), jnp.cos(a2)
+    bflip = (rb + r2b) > 1.0
+    br3 = jnp.where(bflip, 1.0 - rb, rb)
+    br2 = jnp.where(bflip, 1.0 - r2b, r2b)
+    lens_x = bx1 * br3 + bx2 * br2
+    lens_y = by1 * br3 + by2 * br2
+    o_l = view.pos[None] + view.aperture * (right[None] * lens_x[:, None]
+                                            + up[None] * lens_y[:, None])
+    rr2 = jnp.maximum(dot(right, right), 1e-12)
+    uu2 = jnp.maximum(dot(up, up), 1e-12)
+    pn = jnp.broadcast_to(plane_n, o_l.shape)
+    for s in range(1, s_l + 1):
+        yv = y0 if s == 1 else lverts[s - 2]
+        ypos = yv["pos"]
+        w_vec = o_l - ypos
+        dist2 = jnp.maximum(dot(w_vec, w_vec), 1e-12)
+        dist = jnp.sqrt(dist2)
+        dir_yl = w_vec / dist[:, None]             # y -> lens
+        dir_ly = -dir_yl                           # lens -> y (the eye ray)
+        # project: intersect (o_l, dir_ly) with the focal plane -> pixel
+        denom = dot(dir_ly, pn)                    # cos theta at the lens
+        f_ax_l = dot(view.p1[None] - o_l, pn)
+        t_pl = f_ax_l / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+        q = o_l + t_pl[:, None] * dir_ly - view.p1[None]
+        su = dot(q, jnp.broadcast_to(right, q.shape)) / rr2
+        sv = dot(q, jnp.broadcast_to(up, q.shape)) / uu2
+        inside = ((denom > 1e-6) & (t_pl > 0)
+                  & (su >= 0) & (su < 1) & (sv >= 0) & (sv < 1))
+        px = jnp.clip((su * config.width).astype(jnp.int32), 0,
+                      config.width - 1)
+        py = jnp.clip((sv * config.height).astype(jnp.int32), 0,
+                      config.height - 1)
+        pix = py * config.width + px
+        cos_l = jnp.maximum(denom, 1e-6)
+        p_omega = (f_ax_l * f_ax_l) / (a_film * cos_l ** 3)
+
+        if s == 1:
+            cos_y_g = jnp.where(yv["delta_pos"], 1.0, dot(dir_yl, yv["ns"]))
+            cos_y = jnp.abs(cos_y_g)
+            f_y = jnp.ones((n, 3))
+            # a delta-POSITION light seen directly by the lens is a point
+            # image no other strategy samples; cameras do not image delta
+            # lights (PT parity) — skip, no MIS interaction exists
+            y_valid = yv["valid"] & ~yv["delta_pos"]
+            y_delta = yv["delta"]
+            y_beta = yv["beta"]
+            y_out_n = jnp.where(yv["delta_pos"][:, None], dir_yl, yv["ns"])
+        else:
+            ysd = yv["sd"]
+            y_out_n = ysd.n_geom * ysd.face_dir[:, None]
+            cos_y_g = dot(dir_yl, y_out_n)
+            cos_y = jnp.abs(dot(dir_yl, ysd.n_shading))
+            f_y, _ = _f_pdf(bsdf_mod, config, ysd, -yv["d_in"], dir_yl)
+            y_valid = yv["valid"] & ~yv["emissive"]
+            y_delta = yv["delta"]
+            y_beta = yv["beta"]
+
+        ok = y_valid & ~y_delta & (cos_y_g > 0) & inside
+        contrib = y_beta * f_y * (p_omega * cos_y / dist2)[:, None]
+
+        # visibility y <-> lens
+        sh_o = safe_origin(ypos, dir_yl, y_out_n, geo_eps)
+        sh_tmax = jnp.where(ok, dist - 2.0 * geo_eps, 0.0)
+        occ = _occluded(scene, sh_o, dir_yl, sh_tmax, config)
+        ok = ok & ~occ
+        n_conn_rays = n_conn_rays + jnp.sum(ok.astype(jnp.int32))
+
+        # ---- MIS vs (s-k, 1+k): camera->y area pdf seeds the chain ----
+        rev_top = p_omega * cos_y / dist2
+        if s == 1:
+            rev_top1 = jnp.zeros((n,))
+            lchain = [y0]
+        else:
+            _, pdf_y_back_sa = _f_pdf(bsdf_mod, config, yv["sd"],
+                                      dir_yl, -yv["d_in"])
+            prev_ns = (y0["ns"] if s == 2
+                       else lverts[s - 3]["sd"].n_shading)
+            rev_top1 = _to_area(pdf_y_back_sa,
+                                jnp.abs(dot(yv["d_in"], prev_ns)),
+                                yv["dist_in2"])
+            lchain = [y0] + lverts[:s - 1]
+        sum_light = _light_ratio_chain(lchain, s, rev_top, rev_top1,
+                                       1, max_eye=s_e,
+                                       delta_light=y0["delta_pos"])
+        w_mis = 1.0 / (1.0 + sum_light)
+        val = jnp.where(ok[:, None], clamp(contrib * w_mis[:, None]), 0.0)
+        splat = splat.at[jnp.where(ok, pix, 0)].add(
+            jnp.where(ok[:, None], val * _T1_SCALE, 0.0))
+
+    # per-path -> per-pixel
     spp = config.spp_per_pass
     acc = untile_image(acc.reshape(spp, wh, 4), config).sum(0)
+    acc = acc.at[:, :3].add(splat)
     cam_seed, _ = rng_mod.frame_r0(cam_seed, 1)
     stats = dict(
         primary_rays=jnp.int32(n),

@@ -63,8 +63,15 @@ def test_bdpt_cornell_matches_pt():
         if max(m.color) <= 1.0:        # dim the non-emissive materials
             scene.materials[i] = m.replace(
                 color=tuple(0.48 * c for c in m.color))
+    # clamp OFF: the firefly clamp is a deliberate bias and the two
+    # estimators clamp differently (PT loses ~35% of this scene's energy to
+    # it; BDPT's per-strategy contributions — especially the r5 t=1 splats
+    # — stay below the clamp). Estimator consistency must be compared on
+    # the unbiased estimators (measured: ratio 0.995 unclamped vs 1.50
+    # clamped, round-5 notes).
     cfg = RenderConfig(width=16, height=16, spp_per_pass=8,
-                       max_path_length=8, use_bvh=False)
+                       max_path_length=8, use_bvh=False,
+                       clamp_fireflies=False)
     img_pt, _, _ = _render(scene, cam, cfg, passes=24, core="pt")
     img_bd, _, _ = _render(scene, cam, cfg, passes=24, core="bdpt")
     img_pt = img_pt.reshape(16, 16, 3)
@@ -100,75 +107,118 @@ def _vert(pdf_fwd, pdf_rev_prev=0.0, delta=False, n=1):
 
 
 def test_mis_weights_sum_to_one_t3():
-    """Fixed geometric path camera->z1->light (3 vertices). Two strategies
-    sample it: A=(0,3) implicit hit, B=(1,2) light-sample connection.
-    Balance weights from the chain code must satisfy w_A + w_B = 1."""
+    """Fixed geometric path camera->z1->light (3 vertices). THREE strategies
+    sample it now that light tracing exists (VERDICT r4 #8): A=(0,3)
+    implicit hit, B=(1,2) light-sample connection, C=(2,1) light tracing to
+    the lens. Balance weights from the chain code must sum to 1."""
+    p_c = 0.60     # camera->z1 area pdf (the eye walk records it for t=1)
     p_z2 = 0.37    # area pdf of the light vertex under the eye walk (BSDF)
     q_y0 = 1.84    # area pdf of the light vertex under light sampling
+    q_y1 = 0.90    # area pdf of z1 under the light walk (emission dir)
+    nd = jnp.zeros((1,), bool)
 
-    # strategy A: s=0, eye verts [z1, z2]; junction rev pdf of z2 is q_y0
-    everts = [_vert(0.0), _vert(p_z2)]
-    sum_a = _eye_ratio_chain(everts, 1, jnp.asarray([q_y0]),
-                             jnp.asarray([0.55]), max_light=5, s_base=0)
-    w_a = 1.0 / (1.0 + sum_a)
+    # A: eye [z1, z2]; junction rev pdfs: z2 <- q_y0, z1 <- q_y1
+    everts = [_vert(p_c), _vert(p_z2)]
+    w_a = 1.0 / (1.0 + _eye_ratio_chain(
+        everts, 1, jnp.asarray([q_y0]), jnp.asarray([q_y1]), 5, 0))
 
-    # strategy B: s=1, eye verts [z1]; light chain [y0] with pdf_fwd=q_y0,
-    # junction rev pdf of y0 is p_z2
-    sum_e = _eye_ratio_chain([_vert(0.0)], 0, jnp.asarray([q_y0]),
-                             jnp.zeros((1,)), max_light=5, s_base=1)
+    # B: eye [z1]; light [y0]. Junction z1<->y0: rev of z1 is q_y1,
+    # rev of y0 is p_z2
+    se = _eye_ratio_chain([_vert(p_c)], 0, jnp.asarray([q_y1]),
+                          jnp.zeros((1,)), 5, 1)
     y0 = dict(pdf_fwd=jnp.asarray([q_y0]), pdf_rev_prev=jnp.zeros((1,)),
-              delta=jnp.zeros((1,), bool))
-    sum_l = _light_ratio_chain([y0], 1, jnp.asarray([p_z2]),
-                               jnp.zeros((1,)), t=2, max_eye=5,
-                               delta_light=jnp.zeros((1,), bool))
-    w_b = 1.0 / (1.0 + sum_e + sum_l)
-    np.testing.assert_allclose(np.asarray(w_a + w_b), 1.0, rtol=1e-6)
+              delta=nd)
+    sl = _light_ratio_chain([y0], 1, jnp.asarray([p_z2]), jnp.zeros((1,)),
+                            t=2, max_eye=5, delta_light=nd)
+    w_b = 1.0 / (1.0 + se + sl)
+
+    # C: light [y0, y1(=z1)] to the lens: rev of y1 is the camera pdf p_c,
+    # rev of y0 (given camera-incoming at y1) is p_z2
+    y1 = dict(pdf_fwd=jnp.asarray([q_y1]), pdf_rev_prev=jnp.zeros((1,)),
+              delta=nd)
+    sl = _light_ratio_chain([y0, y1], 2, jnp.asarray([p_c]),
+                            jnp.asarray([p_z2]), t=1, max_eye=5,
+                            delta_light=nd)
+    w_c = 1.0 / (1.0 + sl)
+
+    np.testing.assert_allclose(np.asarray(w_a + w_b + w_c), 1.0, rtol=1e-6)
+    # closed-form balance check: w_i = p_i / sum(p)
+    p_a, p_b, p_cs = p_c * p_z2, p_c * q_y0, q_y0 * q_y1
+    np.testing.assert_allclose(np.asarray(w_a),
+                               p_a / (p_a + p_b + p_cs), rtol=1e-6)
 
 
 def test_mis_weights_sum_to_one_t4():
     """4-vertex diffuse path camera->z1->z2->light; strategies (0,4), (1,3),
-    (2,2). With consistent forward/reverse pdf assignments the three balance
-    weights must sum to 1 — exercises the k>=2 chain indexing on both sides."""
-    p_z2, p_z3 = 0.9, 0.21        # eye-walk area pdfs of z2, z3(light vert)
-    q_y0, q_y1 = 1.3, 0.47        # light-walk pdfs: y0 on light, y1(=z2)
-    b_z1 = 0.73                   # rev pdf of z1 from z2 (shared, unused here)
+    (2,2) and the light-tracing (3,1). The four balance weights must sum to
+    1 — exercises the k>=2 chain indexing on both sides incl. the lens
+    terms."""
+    p_c, p_z2, p_z3 = 0.60, 0.9, 0.21   # eye-walk area pdfs of z1, z2, z3
+    q_y0, q_y1, q_y2 = 1.3, 0.47, 0.8   # light-walk pdfs of z3, z2, z1
+    nd = jnp.zeros((1,), bool)
 
-    # (0,4): eye [z1,z2,z3]; rev_top = q_y0 (light pos pdf of z3),
-    # rev_top1 = q_y1 (light-walk pdf of z2 from z3)
-    ev = [_vert(0.0, 0.0), _vert(p_z2, 0.0), _vert(p_z3, b_z1)]
+    # (0,4): eye [z1,z2,z3]; rev_top=q_y0, rev_top1=q_y1; the k=3 (lens)
+    # term reads z1's light-walk rev pdf q_y2 from z2.pdf_rev_prev
+    ev = [_vert(p_c, 0.0), _vert(p_z2, q_y2), _vert(p_z3, 0.0)]
     w_a = 1.0 / (1.0 + _eye_ratio_chain(
         ev, 2, jnp.asarray([q_y0]), jnp.asarray([q_y1]), 5, 0))
 
     # (1,3): eye [z1,z2]; light [y0]. Junction z2<->y0.
     se = _eye_ratio_chain(ev[:2], 1, jnp.asarray([q_y1]),
-                          jnp.asarray([b_z1]), 5, 1)
+                          jnp.asarray([q_y2]), 5, 1)
     y0 = dict(pdf_fwd=jnp.asarray([q_y0]), pdf_rev_prev=jnp.zeros((1,)),
-              delta=jnp.zeros((1,), bool))
+              delta=nd)
     sl = _light_ratio_chain([y0], 1, jnp.asarray([p_z3]), jnp.zeros((1,)),
-                            t=3, max_eye=5,
-                            delta_light=jnp.zeros((1,), bool))
+                            t=3, max_eye=5, delta_light=nd)
     w_b = 1.0 / (1.0 + se + sl)
 
-    # (2,2): eye [z1]; light [y0,y1]. Junction z1<->y1. rev of y1 from z1 is
-    # p_z2; rev of y0 (k=2) is p_z3.
-    se = _eye_ratio_chain(ev[:1], 0, jnp.asarray([0.0]), jnp.zeros((1,)),
+    # (2,2): eye [z1]; light [y0,y1]. Junction z1<->y1.
+    se = _eye_ratio_chain(ev[:1], 0, jnp.asarray([q_y2]), jnp.zeros((1,)),
                           5, 2)
     y1 = dict(pdf_fwd=jnp.asarray([q_y1]), pdf_rev_prev=jnp.zeros((1,)),
-              delta=jnp.zeros((1,), bool))
+              delta=nd)
     sl = _light_ratio_chain([y0, y1], 2, jnp.asarray([p_z2]),
                             jnp.asarray([p_z3]), t=2, max_eye=5,
-                            delta_light=jnp.zeros((1,), bool))
+                            delta_light=nd)
     w_c = 1.0 / (1.0 + se + sl)
-    np.testing.assert_allclose(np.asarray(w_a + w_b + w_c), 1.0, rtol=1e-6)
+
+    # (3,1): light [y0,y1,y2(=z1)] to the lens; rev of y2 is p_c; the k=3
+    # term reads y0's eye rev pdf p_z3 from y1.pdf_rev_prev
+    y1d = dict(y1, pdf_rev_prev=jnp.asarray([p_z3]))
+    y2 = dict(pdf_fwd=jnp.asarray([q_y2]), pdf_rev_prev=jnp.zeros((1,)),
+              delta=nd)
+    sl = _light_ratio_chain([y0, y1d, y2], 3, jnp.asarray([p_c]),
+                            jnp.asarray([p_z2]), t=1, max_eye=5,
+                            delta_light=nd)
+    w_d = 1.0 / (1.0 + sl)
+
+    np.testing.assert_allclose(np.asarray(w_a + w_b + w_c + w_d), 1.0,
+                               rtol=1e-6)
+    p_a = p_c * p_z2 * p_z3
+    p_bb = p_c * p_z2 * q_y0
+    p_cc = p_c * q_y0 * q_y1
+    p_dd = q_y0 * q_y1 * q_y2
+    np.testing.assert_allclose(np.asarray(w_a),
+                               p_a / (p_a + p_bb + p_cc + p_dd), rtol=1e-6)
 
 
 def test_mis_delta_vertex_gates_strategy():
     """A delta (specular) junction vertex cannot be a connection endpoint:
-    the corresponding alternative strategy must be gated out of the sum."""
-    ev = [_vert(0.0), _vert(0.5, delta=True)]   # z2 specular
-    s = _eye_ratio_chain(ev, 1, jnp.asarray([2.0]), jnp.asarray([1.0]), 5, 0)
-    # the only term (k=1) converts z2 which is delta -> gated to 0
-    np.testing.assert_allclose(np.asarray(s), 0.0)
+    the (1, t) alternative through it is gated out — but the light-tracing
+    family (2,1), which samples z1 from the LIGHT side and connects z1 to
+    the lens, survives (z1 is diffuse)."""
+    p_c, q_y0, q_y1 = 0.5, 2.0, 1.0
+    ev = [_vert(p_c), _vert(0.5, delta=True)]   # z2 specular
+    s = _eye_ratio_chain(ev, 1, jnp.asarray([q_y0]), jnp.asarray([q_y1]),
+                         5, 0)
+    # k=1 (strategy (1,2)) converts delta z2 -> gated; k=2 (strategy (2,1))
+    # converts z1 too and survives with ratio (q_y0*q_y1)/(0.5*p_c)
+    np.testing.assert_allclose(np.asarray(s),
+                               q_y0 * q_y1 / (0.5 * p_c), rtol=1e-6)
+    # with max_light=1 the light side cannot hold 2 vertices: fully gated
+    s1 = _eye_ratio_chain(ev, 1, jnp.asarray([q_y0]), jnp.asarray([q_y1]),
+                          1, 0)
+    np.testing.assert_allclose(np.asarray(s1), 0.0)
 
 
 # ---------------------------------------------------------------------------
