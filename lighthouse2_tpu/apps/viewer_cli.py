@@ -51,22 +51,85 @@ def _rotate(direction, yaw_deg, pitch_deg):
     return (d / np.linalg.norm(d)).astype(np.float32)
 
 
+class FrameServer:
+    """Live frame streaming — the 'present every frame' half of the
+    reference's interactive loop (glfwSwapBuffers, main.cpp:270) for a
+    headless box: a tiny HTTP server on a daemon thread holds the latest
+    frame; a browser at / polls /frame.png so a human can watch the render
+    converge live (VERDICT r4 #10)."""
+
+    _PAGE = (b"<!doctype html><title>lighthouse2_tpu</title>"
+             b"<body style='background:#111;margin:0;display:flex;"
+             b"align-items:center;justify-content:center;height:100vh'>"
+             b"<img id=f style='image-rendering:pixelated;"
+             b"max-width:96vw;max-height:96vh'><script>"
+             b"const i=document.getElementById('f');"
+             b"setInterval(()=>{i.src='/frame.png?t='+Date.now();},300);"
+             b"</script></body>")
+
+    def __init__(self, port: int = 8642):
+        import http.server
+        import threading
+        srv_self = self
+        self.latest = b""
+        self.stats = b"{}"
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png") and srv_self.latest:
+                    body, ctype = srv_self.latest, "image/png"
+                elif self.path.startswith("/stats"):
+                    body, ctype = srv_self.stats, "application/json"
+                else:
+                    body, ctype = srv_self._PAGE, "text/html"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Cache-Control", "no-store")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = http.server.ThreadingHTTPServer(("0.0.0.0", port), H)
+        self.port = self.httpd.server_address[1]
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+
+    def push(self, png_bytes: bytes, stats: dict | None = None):
+        import json
+        self.latest = png_bytes
+        if stats is not None:
+            self.stats = json.dumps(
+                {k: v for k, v in stats.items()
+                 if isinstance(v, (int, float, str))}).encode()
+
+    def close(self):
+        self.httpd.shutdown()
+
+
 class ViewerSession:
     """Drives a RenderAPI from parsed script commands; keeps the selected
     material + frame counter (the imguiapp loop state)."""
 
-    def __init__(self, api, out_dir: str):
+    def __init__(self, api, out_dir: str, server: FrameServer | None = None):
         self.api = api
         self.out_dir = out_dir
         self.frame = 0
         self.selected_mat = -1
         self.log: list[str] = []
+        self.server = server
         os.makedirs(out_dir, exist_ok=True)
 
     def _emit_frame(self):
         from lighthouse2_tpu.utils.image import write_png
         path = os.path.join(self.out_dir, f"frame_{self.frame:04d}.png")
         write_png(path, self.api.get_ldr_image())
+        if self.server is not None:
+            with open(path, "rb") as f:
+                self.server.push(f.read(), getattr(self.api.core, "stats",
+                                                   None))
         self.frame += 1
         return path
 
@@ -174,6 +237,12 @@ def main(argv=None):
     ap.add_argument("--spp-per-pass", type=int, default=2)
     ap.add_argument("--max-path", type=int, default=6)
     ap.add_argument("--core", default="wavefront")
+    ap.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="serve the latest frame at http://host:PORT/ "
+                         "(live convergence view)")
+    ap.add_argument("--watch", type=int, default=0, metavar="N",
+                    help="after the script, keep converging N more passes "
+                         "(0 = script only), pushing each to --serve")
     args = ap.parse_args(argv)
 
     from lighthouse2_tpu.api import RenderAPI
@@ -194,9 +263,16 @@ def main(argv=None):
     else:
         api.scene.load_obj(args.scene)
 
-    session = ViewerSession(api, args.out_dir)
+    server = FrameServer(args.serve) if args.serve else None
+    if server is not None:
+        print(f"live view: http://localhost:{server.port}/")
+    session = ViewerSession(api, args.out_dir, server=server)
     with open(args.script) as f:
         session.run_script(f.read())
+    for _ in range(args.watch):
+        session.run_line("snap")
+    if server is not None:
+        server.close()
     return 0
 
 

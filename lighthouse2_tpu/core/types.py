@@ -58,9 +58,11 @@ class RenderConfig:
     # "auto" = pallas cluster kernel on TPU, lockstep JAX BVH on CPU;
     # "cluster" | "lockstep" | "brute" force a specific intersector
     intersector: str = "auto"
-    # BLUENOISE (rendercore_optix7/core_settings.h): blue-noise sampler for
-    # camera dims 0-3 (spp<256), NEE dims 4/5 (spp<2), BSDF dims 6/7 (spp<256)
-    blue_noise: bool = False
+    # BLUENOISE (rendercore_optix7/core_settings.h:24-34 ships it ON): blue-
+    # noise sampler for camera dims 0-3 (spp<256), NEE dims 4/5 (spp<2),
+    # BSDF dims 6/7 (spp<256). Default ON for reference parity — measured
+    # cost +3.3% on the bathroom regen pass (4794 -> 4950 ms, r5 notes)
+    blue_noise: bool = True
     # skydome IBL importance sampling (host_skydome.cpp:20-47 IBL define):
     # the sky joins NEE as one extra light slot with CDF-table sampling and
     # MIS-weighted implicit misses. Off by default (reference parity — the

@@ -25,10 +25,12 @@ ANCHOR_SHA256 = \
 
 def golden_config(intersector: str, interpret: bool = False):
     from lighthouse2_tpu.core.types import RenderConfig
+    # blue_noise pinned OFF: the committed anchor predates the r5 default
+    # flip and the golden frame pins the white-noise sequence
     return RenderConfig(width=SIZE, height=SIZE, spp_per_pass=1,
                         max_path_length=PATHS, use_bvh=True, bsdf="disney",
                         sky_ibl=True, intersector=intersector,
-                        kernel_interpret=interpret)
+                        kernel_interpret=interpret, blue_noise=False)
 
 
 def golden_scene():

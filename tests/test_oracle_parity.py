@@ -18,9 +18,11 @@ from oracle import render_oracle
 
 
 def compare(scene, cam, w, h, spp, max_path, atol=2e-3, passes=1, frac=0.01):
+    # blue_noise off: the NumPy oracle models the white-noise xorshift
+    # sequence only (the default flipped ON in r5 for reference parity)
     cfg = RenderConfig(width=w, height=h, spp_per_pass=spp,
                        max_path_length=max_path, use_bvh=False,
-                       consistent_normals=False)
+                       consistent_normals=False, blue_noise=False)
     ds = scene.sync(rebuild_bvh=False)
     view = cam.get_view()
     st = AccumState.make(cfg)

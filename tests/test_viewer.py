@@ -78,3 +78,25 @@ def test_debug_views(session, tmp_path):
     g = read_png(str(tmp_path / "gb.png"))
     assert g.shape == (64, 64, 3)   # 2x2 mosaic of 32x32 views
     assert any("BVH" in line for line in session.log)
+
+
+def test_frame_server_streams_latest_frame(session):
+    """--serve analog: the live HTTP endpoint must hold the latest frame
+    (the present-every-frame half of the reference's loop, main.cpp:270)."""
+    import urllib.request
+    from lighthouse2_tpu.apps.viewer_cli import FrameServer
+    srv = FrameServer(0)
+    try:
+        session.server = srv
+        session.run_line("snap")
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=10).read()
+        assert b"frame.png" in page
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/frame.png", timeout=10).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        stats = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/stats", timeout=10).read()
+        assert b"render_time" in stats or stats == b"{}"
+    finally:
+        srv.close()
