@@ -68,14 +68,19 @@ def render_pass_sharded(scene, view, state: AccumState, config: RenderConfig,
         "fixed-spp trace — set path_regen=False for multi-chip runs"
     path_idx = jnp.arange(n, dtype=jnp.uint32)
 
+    from lighthouse2_tpu.render.wavefront import _pick_intersector
     body = jax.shard_map(
         functools.partial(_shard_trace, config=config, axis=axis),
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(), P()),
         out_specs=(P(), P(), P()),
-        # check_vma left ON: every loop-carry constant inside trace_paths /
-        # bvh traversal derives from the sharded path_idx so its varying
-        # manual axes are tracked correctly (VERDICT r1 weak #5)
+        # check_vma stays ON for the lockstep path: every loop-carry
+        # constant inside trace_paths / bvh traversal derives from the
+        # sharded path_idx so its varying manual axes are tracked correctly
+        # (VERDICT r1 weak #5). pallas_call cannot annotate vma on its
+        # outputs, so the cluster-kernel path (TPU multi-chip) must opt out
+        # — without this the ray-DP path CRASHES on real chips.
+        check_vma=_pick_intersector(scene, config) != "cluster",
     )
     acc_delta, cam_seed, stats = body(
         scene, view, path_idx, state.sample_count, state.cam_seed)

@@ -406,9 +406,14 @@ class HostScene:
             # shares the SAH topology, only re-cuts/re-flattens it. The
             # cluster tiles also bake the shading payload rows (normals, uvs,
             # alphas, ids, lod) so the kernel can extract them per hit.
+            import os as _os
             cbvh = cut_clusters(
                 flat, dict(world, ltri=ltri, lod=lod.astype(np.float32),
-                           tangent=tanT, bitangent=tanB))
+                           tangent=tanT, bitangent=tanB),
+                # LH2_MIN_TPC=2 trades top-tree size (scalar walk length)
+                # for fatter 256-tri leaves (more MXU work per visit) —
+                # perf experiment knob, default 1
+                min_tpc=int(_os.environ.get("LH2_MIN_TPC", "1")))
 
         if self.textures:
             from lighthouse2_tpu.scene.host_texture import build_texture_pool

@@ -87,3 +87,22 @@ def test_sharded_uneven_device_counts():
         np.testing.assert_allclose(np.asarray(stn.accumulator),
                                    np.asarray(st1.accumulator),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_cluster_kernel_path_compiles_and_matches():
+    """Ray-DP through the PALLAS CLUSTER KERNEL under shard_map (interpret
+    mode on the CPU mesh) — the real multi-chip TPU configuration. Guards
+    the r5 vma fix: with check_vma forced on, pallas_call outputs cannot
+    annotate varying manual axes and the TPU multi-chip path CRASHES."""
+    import dataclasses
+    ds, view = _setup()
+    kcfg = dataclasses.replace(CFG, intersector="cluster",
+                               kernel_interpret=True)
+    st1, _ = render_pass_jit(ds, view, AccumState.make(kcfg), kcfg)
+    mesh = make_mesh(4)
+    dsr = replicate_scene(ds, mesh)
+    st4, _ = render_pass_sharded(dsr, view, AccumState.make(kcfg), kcfg,
+                                 mesh)
+    np.testing.assert_allclose(np.asarray(st4.accumulator),
+                               np.asarray(st1.accumulator),
+                               rtol=1e-4, atol=1e-5)
