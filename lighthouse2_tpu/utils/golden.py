@@ -16,11 +16,16 @@ import numpy as np
 SIZE = 64
 PATHS = 3
 
-# CPU lockstep anchor (f32 accumulator, 1 pass) — round 5
-ANCHOR_MEAN = 0.3503255844116211
-ANCHOR_STD = 0.4814242720603943
+# CPU lockstep anchor (f32 accumulator, 1 pass) — round 5.
+# NOTE the byte-exact hash depends on the XLA CPU partitioning flags:
+# regenerate under the TEST environment (JAX_PLATFORMS=cpu,
+# --xla_force_host_platform_device_count=8 — tests/conftest.py) or the
+# reduction order shifts results by ULPs (mean/std still agree to 1e-3;
+# the 1-device hash was c87bbaaa...).
+ANCHOR_MEAN = 0.3503158390522003
+ANCHOR_STD = 0.4814316928386688
 ANCHOR_SHA256 = \
-    "c87bbaaa7d5ed91c6c547ad5fb6b698ba17650195e0437d6c06245c2171725a4"
+    "2292ac33b2850e263f13f748d6d90f43c988df22746579a78c36cfa52f7606e9"
 
 
 def golden_config(intersector: str, interpret: bool = False):

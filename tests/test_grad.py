@@ -185,15 +185,23 @@ def test_vertex_grad_cornell_finite_nonzero():
 
 
 def test_inverse_rendering_recovers_material():
-    """Optimize one wall's albedo toward a target render (flagship demo)."""
+    """Optimize the walls' albedo toward a target render (flagship demo).
+
+    The EMISSIVE material keeps its true radiance: clamping the light's
+    color into the optimized [0, 0.98] albedo range made the target
+    unreachable whenever any pixel directly saw the light — an irreducible
+    residual that dominated the loss (surfaced by the r5 blue-noise default
+    flip moving the pixel jitter)."""
     cfg, ds, view = setup(w=10, h=10, paths=2)
     true_color = ds.materials.color
+    emissive = jnp.max(true_color, axis=-1, keepdims=True) > 1.0
     img_target = render_image(ds, view, cfg)
 
     start = jnp.clip(true_color * 0.4 + 0.2, 0.05, 0.95)
     loss = make_loss(img_target, view, cfg,
                      lambda s, c: set_material_fields(
-                         s, color=jnp.clip(c, 0.0, 0.98)),
+                         s, color=jnp.where(emissive, true_color,
+                                            jnp.clip(c, 0.0, 0.98))),
                      ds)
     params, hist = optimize(loss, start, steps=18, lr=8e-2)
     assert hist[-1] < 0.25 * hist[0], hist
