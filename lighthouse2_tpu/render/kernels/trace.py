@@ -694,7 +694,12 @@ def prepare_pay_tiles(bvh: ClusterBVH, paym):
     tiles = jnp.concatenate(
         [jax.lax.stop_gradient(bvh.pgeo), jax.lax.stop_gradient(paym)],
         axis=1)                                            # [CT, 72, 128]
-    return jnp.swapaxes(tiles, 0, 1).reshape(PAY_ROWS, -1)  # [72, CT*128]
+    pack = jnp.swapaxes(tiles, 0, 1).reshape(PAY_ROWS, -1)  # [72, CT*128]
+    # one trailing MISS column (zeros, PRIM = -1): miss lanes gather it by
+    # index instead of a [72, N] where-mask after the fetch — the post-ops
+    # measured ~3 ms/bounce on the 262k wavefront (r5 cornell regression)
+    miss = jnp.zeros((PAY_ROWS, 1), jnp.float32).at[PAY_PRIM, 0].set(-1.0)
+    return jnp.concatenate([pack, miss], axis=1)           # [72, CT*128+1]
 
 
 def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
@@ -761,15 +766,22 @@ def trace_cluster_bvh(o, d, bvh: ClusterBVH, t_max, anyhit: bool = False,
         out = out[:, inv]
     code = out[OUT_CODE]
     hit = code >= 0.0
-    ci = jnp.where(hit, code, 0.0).astype(jnp.int32)
-    # the single payload fetch: winner code -> 72 attribute rows
-    payload = jnp.where(hit[None, :], pay_tiles[:, ci], 0.0)
-    payload = payload.at[PAY_PRIM].set(
-        jnp.where(hit, payload[PAY_PRIM], -1.0))
+    # miss lanes index the pack's trailing miss column (zeros, PRIM=-1) so
+    # no [72, N] where-mask runs after the fetch
+    ci = jnp.where(hit, code, jnp.float32(pay_tiles.shape[1] - 1)
+                   ).astype(jnp.int32)
+    g = pay_tiles[:, ci]            # the single payload fetch
     # contract parity with the in-kernel-extraction era: best t rides in
-    # the VALID row slot; stats rows broadcast the per-block counters
-    payload = payload.at[PAY_VALID].set(out[OUT_T])
-    payload = payload.at[PAY_STAT_VISITS].set(out[OUT_VISITS])
-    payload = payload.at[PAY_STAT_SUBS].set(out[OUT_SUBS])
+    # the VALID row slot; stats rows broadcast the per-block counters.
+    # ONE concat instead of chained row updates (each .at[row].set
+    # materialized another [72, N] buffer — measured ~3 ms/bounce)
+    payload = jnp.concatenate([
+        g[:PAY_VALID],
+        out[OUT_T][None],
+        g[PAY_VALID + 1:PAY_STAT_VISITS],
+        out[OUT_VISITS][None],
+        out[OUT_SUBS][None],
+        g[PAY_STAT_SUBS + 1:],
+    ], axis=0)
     t = jnp.where(hit, out[OUT_T], jnp.broadcast_to(tmax, hit.shape))
     return t, payload

@@ -167,3 +167,67 @@ def gen_body(i, _x):
 out["raygen_ms"] = round(bench(loop(gen_body), jnp.float32(0)), 2)
 
 print(json.dumps(out))
+
+
+# 7. residual shade decomposition: payload shading assembly + bsdf math
+if os.environ.get("PROBE_SHADE"):
+    from lighthouse2_tpu.render.wavefront import make_shading, _intersect
+    from lighthouse2_tpu.render import bsdf_lambert as BL
+
+    pay_full = jax.jit(lambda o, d, al: _intersect(
+        ds, o, d, cfg, al, pay_tiles=wf.prepare_cluster_pay(ds, cfg),
+        sort_key="dir"))
+    t2, prim2, u2, v2, payload2 = pay_full(p_o, p_d,
+                                           jnp.ones_like(b_alive))
+    payload2 = snap(payload2 + 0.0)
+    t2s = snap(t2 + 0.0)
+    prim2s = snap(prim2 + 0)
+    u2s = snap(u2 + 0.0)
+    v2s = snap(v2 + 0.0)
+
+    def shade_body(i, pay, tt, pr, uu, vv):
+        sd = make_shading(ds, p_d, tt + 0.0 * i, pr, uu, vv,
+                          jnp.float32(1e-3), cfg, payload=pay)
+        return sd.color[0, 0]
+
+    out["make_shading_ms"] = round(
+        bench(loop(shade_body), payload2, t2s, prim2s, u2s, v2s), 2)
+
+    sd0 = make_shading(ds, p_d, t2s, prim2s, u2s, v2s, jnp.float32(1e-3),
+                       cfg, payload=payload2)
+    sd0 = jax.tree_util.tree_map(lambda a: snap(a + 0 * a), sd0)
+
+    def bsdf_body(i, nf):
+        r3 = jnp.full((cfg.n_paths,), 0.3) + 0.0 * i
+        r4 = jnp.full((cfg.n_paths,), 0.6)
+        smp = BL.sample(sd0, sd0.n_shading, sd0.n_geom, -p_d,
+                        jnp.ones((cfg.n_paths,)), r3, r4)
+        e, ep = BL.evaluate(sd0, sd0.n_shading, -p_d, smp["wi"])
+        return smp["pdf"][0] + ep[0]
+
+    out["bsdf_sample_eval_ms"] = round(bench(loop(bsdf_body), n_flip), 2)
+
+    # full bounce_step (trace+shade+occlude+apply) for the per-bounce total
+    pool_paths, depth0, sk0 = wf.make_regen_pool(view, cfg)
+    pool_paths = {k: snap(v + (0 * v if v.dtype != jnp.bool_ else False))
+                  for k, v in pool_paths.items()}
+    pay_t = snap(wf.prepare_cluster_pay(ds, cfg))
+
+    @jax.jit
+    def bounce_once(paths_, acc_, pay_tiles_):
+        p2, a2, cs, nc = wf.bounce_step(
+            ds, view, cfg, paths_, acc_, jnp.uint32(1), jnp.int32(1),
+            pay_tiles=pay_tiles_, sort_key="dir")
+        return a2
+
+    a0 = jnp.zeros((cfg.n_paths, 4), jnp.float32)
+    r = jax.block_until_ready(bounce_once(pool_paths, a0, pay_t))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = jax.block_until_ready(bounce_once(pool_paths, a0, pay_t))
+    out["full_bounce_step_ms"] = round((time.perf_counter() - t0) / 5 * 1e3,
+                                       2)
+
+    print(json.dumps({k: out[k] for k in
+                      ("make_shading_ms", "bsdf_sample_eval_ms",
+                       "full_bounce_step_ms")}))
